@@ -1,0 +1,112 @@
+package pkel.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation aggregates.
+  *
+  * A1/A2 mirror `/root/reference/pk_el/evaluation.py:25-89` (micro P/R/F1 =
+  * accuracy for single-label multiclass; macro F1 over the union of observed
+  * classes; MRR / Recall@k over ranked candidate lists). A9 (pairwise F1 over
+  * entity clusters) is the graft's north-rule metric: computed purely with
+  * groupBy arithmetic on cluster sizes — no pair materialization — so it
+  * scales to arbitrarily large cluster assignments.
+  */
+object Metrics {
+
+  final case class ClassificationMetrics(
+      micP: Double, micR: Double, micF1: Double, macF1: Double, accuracy: Double, n: Long)
+
+  /** Micro/macro scores over (y_true, y_pred) columns. */
+  def evaluate(preds: DataFrame): ClassificationMetrics = {
+    val n = preds.count()
+    if (n == 0) return ClassificationMetrics(0, 0, 0, 0, 0, 0)
+    val correct = preds.filter(col("y_true") === col("y_pred")).count()
+    val micro = correct.toDouble / n
+
+    // per-class TP/FP/FN in two small aggregations over the label union
+    val perTrue = preds.groupBy(col("y_true").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("y_true") === col("y_pred"), 1L).otherwise(0L)).as("tp"))
+    val perPred = preds.groupBy(col("y_pred").as("cls")).agg(count(lit(1)).as("predicted"))
+    val joined = perTrue.join(perPred, Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("support", "tp", "predicted"))
+      .select(col("cls"), col("tp"),
+        (col("support") - col("tp")).as("fn"),
+        (col("predicted") - col("tp")).as("fp"))
+      .collect()
+    val f1s = joined.map { r =>
+      val tp = r.getLong(1).toDouble; val fn = r.getLong(2).toDouble; val fp = r.getLong(3).toDouble
+      val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
+      val rr = if (tp + fn > 0) tp / (tp + fn) else 0.0
+      if (p + rr > 0) 2 * p * rr / (p + rr) else 0.0
+    }
+    val macroF1 = if (f1s.nonEmpty) f1s.sum / f1s.length else 0.0
+    ClassificationMetrics(micro, micro, micro, macroF1, micro, n)
+  }
+
+  final case class RetrievalMetrics(mrr: Double, recallAtK: Double, topMetrics: ClassificationMetrics)
+
+  /** MRR + Recall@k over a DF with (y_true, pred_ids: array<string>,
+    * y_pred = head or Q100). */
+  def evaluateRetrieval(preds: DataFrame): RetrievalMetrics = {
+    val n = preds.count()
+    if (n == 0) return RetrievalMetrics(0, 0, ClassificationMetrics(0, 0, 0, 0, 0, 0))
+    val withPos = preds.withColumn("pos", array_position(col("pred_ids"), col("y_true")))
+    val agg = withPos.agg(
+      avg(when(col("pos") > 0, lit(1.0) / col("pos")).otherwise(0.0)).as("mrr"),
+      avg(when(col("pos") > 0, 1.0).otherwise(0.0)).as("recall")).head()
+    RetrievalMetrics(agg.getDouble(0), agg.getDouble(1), evaluate(preds))
+  }
+
+  final case class PairwiseMetrics(precision: Double, recall: Double, f1: Double,
+      tp: Long, predPairs: Long, goldPairs: Long)
+
+  private def pairs(n: Long): Long = n * (n - 1) / 2
+
+  /** Pairwise cluster F1 (north-rule metric). `assignments` has columns
+    * (gold, pred); rows whose gold or pred equals `nil` are excluded from the
+    * respective pair universe (NIL is not an entity — reference drops NIL from
+    * ontology/training, `ontology_preprocessing.py:36-39`).
+    *
+    * Computed from cluster-size arithmetic: TP = Σ_cells C(n,2) over the
+    * (gold,pred) contingency table; gold pairs = Σ_gold C(n,2); predicted
+    * pairs = Σ_pred C(n,2). Three shuffles, no pair blow-up.
+    */
+  def pairwiseF1(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics = {
+    val pairsUdf = udf((n: Long) => pairs(n))
+    val goldPairs = assignments.filter(col("gold") =!= nil)
+      .groupBy("gold").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
+    val predPairs = assignments.filter(col("pred") =!= nil)
+      .groupBy("pred").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
+    val tp = assignments.filter(col("gold") =!= nil && col("pred") =!= nil)
+      .groupBy("gold", "pred").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
+    val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
+    val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
+    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+    PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
+  }
+
+  /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349`):
+    * one conditional-aggregate pass. Input columns: label, subset_matched,
+    * subsetted_concepts (array), category of label via paramToCategory map. */
+  def evaluateSubsetMatching(spark: SparkSession, df: DataFrame,
+      paramToCategory: Map[String, String], nOntology: Int): DataFrame = {
+    val catUdf = udf((id: String) => paramToCategory.getOrElse(id, "G100"))
+    val d = df
+      .withColumn("is_nil", col("label") === "Q100" || catUdf(col("label")) === "G100")
+      .withColumn("matched", size(col("subsetted_concepts")) > 0)
+      .withColumn("hit", array_contains(col("subsetted_concepts"), col("label")))
+    d.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("matched"), 1L).otherwise(0L)).as("matched"),
+      sum(when(!col("matched"), 1L).otherwise(0L)).as("unmatched"),
+      sum(when(col("matched") && !col("is_nil") && col("hit"), 1L).otherwise(0L)).as("correct_matched"),
+      sum(when(!col("matched") && col("is_nil"), 1L).otherwise(0L)).as("correct_unmatched"),
+      sum(when(!col("is_nil"), 1L).otherwise(0L)).as("total_non_nil"),
+      sum(when(col("is_nil"), 1L).otherwise(0L)).as("total_nil"),
+      sum(when(col("is_nil") && col("matched"), 1L).otherwise(0L)).as("nil_with_subset"),
+      avg(when(size(col("subsetted_concepts")) > 1,
+        lit(1.0) - size(col("subsetted_concepts")).cast("double") / lit(nOntology.toDouble))).as("avg_reduction"))
+  }
+}
