@@ -87,6 +87,25 @@ object Metrics {
     PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
   }
 
+  /** North-rule variant: pairwise F1 restricted to mention pairs that share a
+    * blocking key ("pairwise F1 ≥ 0.99 on labeled pairs at identical blocking
+    * keys", BASELINE.json). Within each key group the contingency arithmetic
+    * runs per (key, gold, pred) — still no pair materialization. */
+  def pairwiseF1AtBlockingKey(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics = {
+    val pairsUdf = udf((n: Long) => pairs(n))
+    def total(df: DataFrame, groupCols: Seq[String]): Long =
+      df.groupBy(groupCols.map(col): _*).count()
+        .agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
+    val goldPairs = total(assignments.filter(col("gold") =!= nil), Seq("blocking_key", "gold"))
+    val predPairs = total(assignments.filter(col("pred") =!= nil), Seq("blocking_key", "pred"))
+    val tp = total(assignments.filter(col("gold") =!= nil && col("pred") =!= nil),
+      Seq("blocking_key", "gold", "pred"))
+    val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
+    val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
+    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+    PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
+  }
+
   /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349`):
     * one conditional-aggregate pass. Input columns: label, subset_matched,
     * subsetted_concepts (array), category of label via paramToCategory map. */
