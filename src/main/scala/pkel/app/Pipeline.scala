@@ -1,0 +1,178 @@
+package pkel.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import pkel.blocking.PairGen
+import pkel.cluster.ConnectedComponents
+import pkel.eval.Metrics
+import pkel.io.TableIO
+import pkel.link.{Cascade, ExactLinker}
+import pkel.model.OntologyEntry
+import pkel.ontology.Ontology
+import pkel.scoring.PairScorer
+
+/** The transcript record-linkage pipeline (north rule):
+  *
+  *   transcripts ─ window-ordered conversations → mention extraction
+  *     → normalization/blocking keys → linking cascade (mention→entity)
+  *     → candidate pairs (salted blocking keys + MinHash-LSH)
+  *     → batched pair scoring (JW + Levenshtein/indel + cosine)
+  *     → edges (score ≥ θ) ∪ entity-anchor edges from the cascade
+  *     → large-star/small-star connected components → clusters
+  *     → pairwise-F1 evaluation vs gold labels
+  *
+  * Entity anchors: a mention linked to ontology entity Qn contributes an edge
+  * to virtual node −(n+1); anchors are the minimum ids in their components so
+  * CC roots read off the entity directly — the mention→ontology tier and the
+  * pair-similarity graph compose in one transitive closure.
+  *
+  * Every stage commits a parquet snapshot + per-partition metrics via
+  * `TableIO`; a re-run with the same fingerprint resumes from the last
+  * committed stage.
+  */
+object Pipeline {
+
+  final case class Config(
+      pairCfg: PairGen.Config = PairGen.Config(),
+      weights: PairScorer.Weights = PairScorer.Weights(),
+      edgeThreshold: Double = 0.90,
+      cascade: Cascade.Config = Cascade.Config(),
+      useAnchors: Boolean = true)
+
+  final case class Summary(
+      mentions: Long, pairs: Long, edges: Long, clusters: Long,
+      pairwiseF1: Double, pairwisePrecision: Double, pairwiseRecall: Double,
+      pairwiseF1AtKey: Double, scoredPairsPerSec: Double, wallSec: Double)
+
+  private def fp(cfg: Config, extra: String = ""): String =
+    (cfg.toString + extra).hashCode.toHexString
+
+  /** Anchor node id for an entity: "Q57" → −58 (strictly below all mention ids). */
+  def anchorId(paramId: String): Long = {
+    val digits = paramId.dropWhile(!_.isDigit)
+    -(digits.toLong + 1L)
+  }
+
+  /** Extract mentions from `«mention»` delimiters in transcript turns.
+    * Emits the canonical mention schema used by the cascade. The conversation
+    * window (partitionBy conv_id, orderBy turn_idx) both validates the stable
+    * turn ordering invariant and is where turn-level context features would
+    * attach (lag/lead). */
+  def extractMentions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    transcripts
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("ordering_ok", col("rn") === col("turn_idx"))
+      .filter(col("text").contains("«"))
+      .withColumn("span_start", (instr(col("text"), "«")).cast("int")) // 1-based instr ⇒ 0-based char after «
+      .withColumn("span_end", instr(col("text"), "»").cast("int") - 1)
+      .filter(col("span_end") > col("span_start"))
+      .withColumn("mention_id", xxhash64(col("conv_id"), col("turn_idx")).bitwiseAND(lit(Long.MaxValue)))
+      .select(
+        col("mention_id"), col("conv_id"), col("turn_idx"), col("ts"),
+        col("text"), col("span_start"), col("span_end"),
+        lit(false).as("is_table"),
+        lit("").as("table_html"), lit("").as("caption"), lit("").as("footer"),
+        lit("").as("table_id"), lit(-1).as("row"), lit(-1).as("col"),
+        lit(-1).as("row_idx"), lit(-1).as("col_idx"),
+        lit("").as("label"), col("ordering_ok"))
+  }
+
+  /** Run the full pipeline. `gold` (mention_id, gold) is optional — when
+    * present the summary carries pairwise F1 vs gold. */
+  def run(spark: SparkSession, transcripts: DataFrame, entries: Seq[OntologyEntry],
+      cfg: Config, io: TableIO, gold: Option[DataFrame] = None): (DataFrame, Summary) = {
+    val t0 = System.nanoTime()
+
+    // stage 1: mention extraction under stable conversation ordering
+    val mentions = io.readOrCompute("mentions", fp(cfg, "m")) {
+      extractMentions(transcripts)
+    }
+
+    // stage 2: normalization + blocking keys
+    val keyed = io.readOrCompute("keyed", fp(cfg, "k")) {
+      ExactLinker.withBlockingKey(mentions)
+    }
+
+    // stage 3: linking cascade → entity assignment per mention
+    val linked = io.readOrCompute("linked", fp(cfg, "l")) {
+      Cascade.run(spark, keyed.drop("ordering_ok"), entries, cfg.cascade)
+    }
+
+    // stage 4: candidate pairs (salted blocking keys + MinHash-LSH)
+    val pairs = io.readOrCompute("pairs", fp(cfg, "p")) {
+      PairGen.candidatePairs(keyed.select("mention_id", "blocking_key", "tokens"), cfg.pairCfg)
+    }
+
+    // stage 5: batched pair scoring
+    val scored = io.readOrCompute("scored", fp(cfg, "s")) {
+      val feats = keyed.select(col("mention_id"), col("blocking_key"), col("mention"))
+      val a = feats.select(col("mention_id").as("src"), col("blocking_key").as("key_a"), col("mention").as("mention_a"))
+      val b = feats.select(col("mention_id").as("dst"), col("blocking_key").as("key_b"), col("mention").as("mention_b"))
+      PairScorer.scorePairs(pairs.join(a, "src").join(b, "dst"), cfg.weights)
+    }
+
+    // stage 6: edge set. Mentions the cascade links to an entity take edges
+    // ONLY to their entity anchor (clustering must not override the linker's
+    // disambiguation — e.g. 'km' mentions resolved to Q1 vs Q51 share a
+    // blocking key but are different entities). Similarity edges (score ≥ θ;
+    // identical canonical keys score 1.0) cluster the unlinked residue.
+    val anchorUdf = udf((id: String) => anchorId(id))
+    val edges = io.readOrCompute("edges", fp(cfg, "e")) {
+      val linkedStatuses = Seq("linked", "disambiguated", "table_default")
+      if (cfg.useAnchors) {
+        val assigned = linked
+          .filter(col("y_pred") =!= "Q100" && col("status").isin(linkedStatuses: _*))
+          .select(col("mention_id"), anchorUdf(col("y_pred")).as("anchor"))
+        val anchorEdges = assigned.select(col("mention_id").as("src"), col("anchor").as("dst"))
+        val simEdges = scored.filter(col("score") >= cfg.edgeThreshold)
+          .join(assigned.select(col("mention_id").as("src")), Seq("src"), "left_anti")
+          .join(assigned.select(col("mention_id").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+        simEdges.unionByName(anchorEdges)
+      } else scored.filter(col("score") >= cfg.edgeThreshold).select("src", "dst")
+    }
+
+    // stage 7: connected components (large-star / small-star)
+    val components = io.readOrCompute("components", fp(cfg, "c")) {
+      ConnectedComponents.run(spark, edges)
+    }
+
+    // stage 8: cluster assignment (singletons = own cluster). Mentions the
+    // cascade *excluded* as non-PK (NIL patterns / invalid context) are not
+    // entities — they are singletonized for evaluation, mirroring the
+    // reference's NIL semantics (NIL never forms a cluster).
+    val clusters = io.readOrCompute("clusters", fp(cfg, "cl")) {
+      keyed.select("mention_id", "blocking_key")
+        .join(components.withColumnRenamed("node", "mention_id"), Seq("mention_id"), "left")
+        .join(linked.select(col("mention_id"), col("y_pred"), col("status")), Seq("mention_id"), "left")
+        .withColumn("is_nil", col("status") === "excluded")
+        .withColumn("cluster_id", coalesce(col("root"), col("mention_id")))
+        .drop("root")
+    }
+
+    val nMentions = mentions.count()
+    val nPairs = scored.count()
+    val nEdges = edges.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val (f1, p, r, f1Key) = gold match {
+      case Some(g) =>
+        val assign = clusters.join(g, "mention_id")
+          .select(col("gold"), col("blocking_key"),
+            when(col("is_nil"), concat(lit("nil#"), col("mention_id")))
+              .otherwise(col("cluster_id").cast("string")).as("pred"))
+        val pw = Metrics.pairwiseF1(assign.select("gold", "pred"))
+        val pwKey = Metrics.pairwiseF1AtBlockingKey(assign)
+        (pw.f1, pw.precision, pw.recall, pwKey.f1)
+      case None => (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    }
+
+    val summary = Summary(nMentions, nPairs, nEdges, nClusters, f1, p, r, f1Key,
+      if (wallSec > 0) nPairs / wallSec else 0.0, wallSec)
+    (clusters, summary)
+  }
+}

@@ -1,0 +1,80 @@
+package pkel.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative large-star / small-star connected components over DataFrame
+  * self-joins (no RDDs) — the Kiveris et al. "Connected Components in
+  * MapReduce and Beyond" recipe (SURVEY.md §2.11).
+  *
+  * Input: undirected edge list (src: long, dst: long). Output: (node, root)
+  * where root = min node id of the component. Each round is expressed as
+  * groupBy(min) + join (no per-node neighbor collection, so hub nodes don't
+  * blow memory); every iteration localCheckpoints to truncate lineage, and
+  * convergence is detected by (count, xxhash64-sum) fixpoint of the canonical
+  * edge set.
+  */
+object ConnectedComponents {
+
+  /** Large-star: for every node u (over bidirected edges), connect all
+    * strictly-larger neighbors to m(u) = min(N(u) ∪ u). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    val mins = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    bidir.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: over edges directed large→small (u > v), connect all
+    * neighbors (and u itself) to m(u) = min neighbor. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val nbrEdges = dir.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+    val selfEdges = mins.select(col("u").as("src"), col("m").as("dst"))
+    nbrEdges.union(selfEdges).distinct()
+  }
+
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.select(
+      greatest(col("src"), col("dst")).as("a"), least(col("src"), col("dst")).as("b"))
+      .agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Run to fixpoint; returns (node, root) for every node appearing in an
+    * edge. Singleton nodes (no edges) are their own root — callers union
+    * them in. */
+  def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50): DataFrame = {
+    var edges = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    // at fixpoint every edge is (node, root)
+    val roots = edges.select(col("src").as("node"), col("dst").as("root"))
+    // roots themselves
+    val selfRoots = edges.select(col("dst").as("node"), col("dst").as("root")).distinct()
+    roots.union(selfRoots).groupBy("node").agg(min("root").as("root"))
+  }
+}

@@ -1,0 +1,133 @@
+package pkel.transcript
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import pkel.model.OntologyEntry
+
+/** Deterministic synthetic transcript generator (graft input,
+  * BASELINE.json input_hint: `(conv_id string, turn_idx int, role string,
+  * text string, tool string, ts timestamp)`).
+  *
+  * Mentions are embedded from the ontology's own surface forms
+  * (name + synonyms) plus NIL decoys, wrapped in `«»` delimiters so spans are
+  * recoverable from raw text; the embedded entity id is therefore the gold
+  * cluster assignment by construction. Everything is a pure function of
+  * (seed, conv_id, turn_idx) — no RNG state, so generation is distributed,
+  * repartition-safe, and identical at any parallelism.
+  */
+object TranscriptSynth {
+
+  /** One selectable surface form. `context` is appended after the mention so
+    * ambiguous families (km, t1/2) satisfy their disambiguation regexes. */
+  final case class Variant(paramId: String, surface: String, context: String)
+
+  val NilDecoys: Seq[String] = Seq(
+    "IC50", "EC50", "MIC", "GFR", "molecular weight", "solubility",
+    "therapeutic index", "Emax", "logP", "MTD")
+
+  /** Disambiguation-context snippets for ambiguous entities (mirrors the
+    * contexts the reference's regexes look for, `patterns.py:91-120`). */
+  private val disambContext: Map[String, String] = Map(
+    "Q1" -> "of the enzyme michaelis menten kinetics",
+    "Q51" -> "of about 0.3 1/h during elimination",
+    "Q57" -> "from non-compartmental analysis",
+    "Q60" -> "in the two-compartment model biphasic decline",
+    "Q89" -> "of the triphasic gamma phase decline")
+
+  def variants(entries: Seq[OntologyEntry]): IndexedSeq[Variant] =
+    entries.flatMap { e =>
+      val ctx = disambContext.getOrElse(e.parameterId, "")
+      (e.parameterName +: e.parameterSynonyms.filter(_.nonEmpty)).map(v => Variant(e.parameterId, v, ctx))
+    }.toIndexedSeq
+
+  private val prefixes = IndexedSeq(
+    "The reported", "We estimated the", "In this arm the", "Analysis showed the",
+    "The observed", "Model fit gave a", "Median", "Geometric mean")
+  private val suffixes = IndexedSeq(
+    "was 3.2 in healthy subjects.", "differed across groups.", "was stable over time.",
+    "is summarized in Table 2.", "was higher after the second dose.", "remained unchanged.")
+  private val fillers = IndexedSeq(
+    "Thanks, looking into the study design now.",
+    "The assay was validated before analysis.",
+    "Subjects fasted overnight before dosing.",
+    "No protocol deviations were recorded.",
+    "Samples were stored at -80C until analysis.")
+  private val roles = IndexedSeq("user", "assistant", "tool")
+  private val tools = IndexedSeq(null, "search", "calculator", "table_reader")
+
+  /** Generate `nConvs` conversations × `turnsPerConv` turns. `mentionRate` of
+    * turns carry one mention (entity chosen by hash; `nilRate` of mention
+    * turns carry a NIL decoy instead). */
+  def generate(spark: SparkSession, entries: Seq[OntologyEntry], nConvs: Long,
+      turnsPerConv: Int = 8, seed: Long = 42L, mentionRate: Double = 0.7,
+      nilRate: Double = 0.1): DataFrame = {
+    val vs = variants(entries)
+    val bVs = spark.sparkContext.broadcast(vs)
+    val bNil = spark.sparkContext.broadcast(NilDecoys.toIndexedSeq)
+    val bPre = spark.sparkContext.broadcast(prefixes)
+    val bSuf = spark.sparkContext.broadcast(suffixes)
+    val bFill = spark.sparkContext.broadcast(fillers)
+
+    import spark.implicits._
+    val mentionThreshold = (mentionRate * (1L << 32)).toLong
+    val nilThreshold = (nilRate * (1L << 32)).toLong
+
+    spark.range(nConvs * turnsPerConv)
+      .select(
+        (col("id") / turnsPerConv).cast("long").as("conv"),
+        (col("id") % turnsPerConv).cast("int").as("turn_idx"))
+      .mapPartitions { rows =>
+        val vsL = bVs.value; val nilL = bNil.value
+        val preL = bPre.value; val sufL = bSuf.value; val fillL = bFill.value
+        rows.map { r =>
+          val conv = r.getLong(0); val turn = r.getInt(1)
+          def h(salt: Long): Long = {
+            // splitmix64 over (seed, conv, turn, salt) — stable & uniform
+            var z = seed ^ (conv * 0x9E3779B97F4A7C15L) ^ (turn * 0xBF58476D1CE4E5B9L) ^ (salt * 0x94D049BB133111EBL)
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          def pick(salt: Long, n: Int): Int = ((h(salt) >>> 1) % n).toInt
+          val convId = f"c$conv%010d"
+          val role = roles(turn % roles.length)
+          val tool = tools(pick(5, tools.length))
+          val hasMention = (h(1) >>> 32) < mentionThreshold
+          val text =
+            if (!hasMention) fillL(pick(2, fillL.length))
+            else {
+              val isNil = (h(3) >>> 32) < nilThreshold
+              val (surface, ctx) =
+                if (isNil) (nilL(pick(4, nilL.length)), "")
+                else { val v = vsL(pick(6, vsL.length)); (v.surface, v.context) }
+              val pre = preL(pick(7, preL.length))
+              val suf = sufL(pick(8, sufL.length))
+              val ctxPart = if (ctx.nonEmpty) s" $ctx" else ""
+              s"$pre «$surface»$ctxPart $suf"
+            }
+          val ts = new java.sql.Timestamp(1700000000000L + conv * 3600000L + turn * 60000L)
+          (convId, turn, role, text, tool, ts)
+        }
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  /** Gold assignment for a generated corpus: re-derive (conv_id, turn_idx) →
+    * gold entity id from the same hash functions. Deterministic companion of
+    * `generate` (not used by the pipeline — evaluation only). */
+  def goldFor(entries: Seq[OntologyEntry], seed: Long, conv: Long, turn: Int,
+      mentionRate: Double = 0.7, nilRate: Double = 0.1): Option[String] = {
+    val vs = variants(entries)
+    def h(salt: Long): Long = {
+      var z = seed ^ (conv * 0x9E3779B97F4A7C15L) ^ (turn * 0xBF58476D1CE4E5B9L) ^ (salt * 0x94D049BB133111EBL)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val mentionThreshold = (mentionRate * (1L << 32)).toLong
+    val nilThreshold = (nilRate * (1L << 32)).toLong
+    if ((h(1) >>> 32) >= mentionThreshold) None
+    else if ((h(3) >>> 32) < nilThreshold) Some("Q100")
+    else Some(vs(((h(6) >>> 1) % vs.length).toInt).paramId)
+  }
+}

@@ -1,0 +1,104 @@
+package pkel.app
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import pkel.SparkSpec
+import pkel.blocking.PairGen
+import pkel.io.TableIO
+import pkel.ontology.Ontology
+import pkel.transcript.TranscriptSynth
+
+class TranscriptPipelineSpec extends SparkSpec {
+
+  lazy val entries = Ontology.load()
+
+  private def goldDf(transcripts: org.apache.spark.sql.DataFrame, seed: Long) = {
+    val bEntries = entries
+    val goldUdf = udf((convId: String, turn: Int) =>
+      TranscriptSynth.goldFor(bEntries, seed, convId.stripPrefix("c").toLong, turn).orNull)
+    Pipeline.extractMentions(transcripts)
+      .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+      .filter(col("gold").isNotNull)
+  }
+
+  test("synthesizer is deterministic and schema-exact") {
+    val t1 = TranscriptSynth.generate(spark, entries, nConvs = 50, seed = 42L)
+    val t2 = TranscriptSynth.generate(spark, entries, nConvs = 50, seed = 42L).repartition(7)
+    assert(t1.schema.fieldNames.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    assert(t1.count() == 400)
+    // identical content at different parallelism (per-row hash functions)
+    val d1 = t1.select("conv_id", "turn_idx", "text").collect().map(_.toString).sorted
+    val d2 = t2.select("conv_id", "turn_idx", "text").collect().map(_.toString).sorted
+    assert(d1.sameElements(d2))
+  }
+
+  test("stable turn ordering invariant: window order matches turn_idx and ts") {
+    val t = TranscriptSynth.generate(spark, entries, nConvs = 100, seed = 42L)
+    val mentions = Pipeline.extractMentions(t)
+    assert(mentions.filter(!col("ordering_ok")).count() == 0)
+    // ts strictly increasing per conversation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id").orderBy("turn_idx")
+    val bad = t.withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("ts") <= col("prev_ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("end-to-end: clusters reach pairwise F1 >= 0.99 vs constructed gold") {
+    val seed = 42L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 400, seed = seed)
+    val root = Files.createTempDirectory("pkel_pipe_").toString
+    val io = new TableIO(spark, root, "test-run")
+    val gold = goldDf(transcripts, seed)
+    val (clusters, summary) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io, Some(gold))
+
+    info(s"summary: $summary")
+    assert(summary.mentions > 1000)
+    assert(clusters.select("mention_id").distinct().count() == summary.mentions)
+    assert(summary.pairwiseF1 >= 0.99, f"global pairwise F1 ${summary.pairwiseF1}%.4f < 0.99")
+    assert(summary.pairwiseF1AtKey >= 0.99, f"pairwise F1 at key ${summary.pairwiseF1AtKey}%.4f < 0.99")
+  }
+
+  test("resume is idempotent: second run replays committed stages byte-identically") {
+    val seed = 7L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 60, seed = seed)
+    val root = Files.createTempDirectory("pkel_resume_").toString
+    val gold = goldDf(transcripts, seed)
+    val io1 = new TableIO(spark, root, "run-1")
+    val (c1, s1) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io1, Some(gold))
+    val snap1 = c1.select("mention_id", "cluster_id").collect().map(_.toString).sorted
+    // same root: all stages committed → replayed, not recomputed
+    val io2 = new TableIO(spark, root, "run-2")
+    val (c2, s2) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io2, Some(gold))
+    val snap2 = c2.select("mention_id", "cluster_id").collect().map(_.toString).sorted
+    assert(snap1.sameElements(snap2))
+    assert(s2.wallSec < s1.wallSec, "resumed run should be faster (no recompute)")
+    // metrics table has rows for every stage
+    val stages = io1.metrics().select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("mentions", "keyed", "linked", "pairs", "scored", "edges", "components", "clusters")
+      .subsetOf(stages), s"missing stage metrics: $stages")
+  }
+
+  test("salting changes pair counts but never the clusters") {
+    val seed = 13L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 80, seed = seed)
+    val gold = goldDf(transcripts, seed)
+    def clustersWith(salt: Int): Map[Long, String] = {
+      val root = Files.createTempDirectory(s"pkel_salt${salt}_").toString
+      val cfg = Pipeline.Config(pairCfg = PairGen.Config(saltBuckets = salt))
+      val io = new TableIO(spark, root, s"salt-$salt")
+      val (c, _) = Pipeline.run(spark, transcripts, entries, cfg, io, Some(gold))
+      // canonicalize cluster ids by their member sets (min member id)
+      val rows = c.select("mention_id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+        val label = ms.map(_._1).min.toString
+        ms.map(m => m._1 -> label)
+      }.toMap
+    }
+    val unsalted = clustersWith(1)
+    val salted = clustersWith(8)
+    assert(unsalted == salted, "salting must not change the transitive clusters")
+  }
+}

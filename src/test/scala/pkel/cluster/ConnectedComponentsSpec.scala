@@ -1,0 +1,53 @@
+package pkel.cluster
+
+import pkel.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Union-find oracle. */
+  private def oracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def runCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("simple chain and star") {
+    assert(runCc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(runCc(Seq((10L, 5L), (10L, 7L), (10L, 20L))) ==
+      Map(5L -> 5L, 7L -> 5L, 10L -> 5L, 20L -> 5L))
+  }
+
+  test("two disjoint components with negative anchor ids") {
+    val got = runCc(Seq((100L, -58L), (101L, -58L), (200L, 201L)))
+    assert(got(100L) == -58L && got(101L) == -58L && got(-58L) == -58L)
+    assert(got(200L) == 200L && got(201L) == 200L)
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 60 + rnd.nextInt(60)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong - 5, rnd.nextInt(40).toLong - 5)
+      }.filter(e => e._1 != e._2)
+      val expect = oracle(edges)
+      val got = runCc(edges)
+      assert(got == expect, s"trial $trial mismatch\n got=$got\n exp=$expect")
+    }
+  }
+}
