@@ -1,0 +1,387 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import pkel.ontology.Ontology
+import pkel.transcript.TranscriptSynth
+
+/** The driver-facing operator battery (SparkEntry.queries backing).
+  *
+  * Each query is an idiomatic DataFrame-API expression of one operator family
+  * from SURVEY.md §2 or of a training-data-pipeline operator (dedup /
+  * similarity / text analysis / multimodal plumbing). SQL-expressible ones
+  * have DuckDB oracles in `SparkEntry.oracleSql` with IDENTICAL column names
+  * and deterministic ORDER BY. Money/ratio aggregates run over DECIMAL to be
+  * bit-stable across engines.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  // ---- core relational operators -----------------------------------------
+
+  /** Aggregation with map-side combine; filter + column pruning pushed to scan. */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"),
+        dec(sum(dec(col("l_extendedprice")))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast hash join chain: fact ⋈ two small dims (dims explicitly
+    * broadcast — at 100 TB the fact side never shuffles for these joins). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dec(sum(dec(col("o_totalprice")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** Window top-k with deterministic tie-break (rank ≤ k benefits from
+    * WindowGroupLimit pushdown in Spark 4). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Anti join: customers without orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: parts that appear in lineitem. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+    p.join(li, Seq("p_partkey"), "left_semi")
+      .select("p_partkey", "p_name", "p_size")
+      .orderBy("p_partkey")
+  }
+
+  /** Conversation-context analog: lag/lead over a per-user event window
+    * (stable ordering via (ts, event_id) tie-break). */
+  def convWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("turn_rank", row_number().over(w))
+      .select("user_id", "event_id", "event_type", "prev_type", "next_type", "turn_rank")
+      .orderBy("user_id", "turn_rank")
+  }
+
+  /** Global sort + limit with full deterministic tie-break. */
+  def limitSort(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(20)
+
+  /** Event-time bucketing (streaming-windowed-agg analog in batch). */
+  def eventHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  // ---- text analysis over documents --------------------------------------
+
+  /** Token counting: whitespace tokens + BPE-ish word-piece count. */
+  def docTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+        size(split(col("text"), "[^a-z0-9]+")).as("n_word_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation/digit/space ratios, mean word len. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))).as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).as("n_space"))
+      .withColumn("alpha_bp", floor(lit(10000) * col("n_alpha") / col("n_chars")).cast("long"))
+      .withColumn("digit_bp", floor(lit(10000) * col("n_digit") / col("n_chars")).cast("long"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: marker-token hit counts per candidate language,
+    * argmax with deterministic tie-break (expressible in plain SQL). */
+  def docLangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "value", "fast"),
+      "de" -> Seq("der", "und", "nicht"),
+      "fr" -> Seq("le", "et", "pas"),
+      "es" -> Seq("el", "y", "no"))
+    def hits(ws: Seq[String]): Column =
+      ws.map(w => size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$w\\s")) - 1)
+        .reduce(_ + _)
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hits(markers("en")).as("en_hits"), hits(markers("de")).as("de_hits"),
+        hits(markers("fr")).as("fr_hits"), hits(markers("es")).as("es_hits"))
+    scored.withColumn("pred_lang",
+      when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+        .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+        .when(col("fr_hits") >= col("es_hits"), "fr")
+        .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup by content hash: canonical representative + dup count. */
+  def docDedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical_doc")
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, collapsed
+    * non-alnum) — the cheap member of the fingerprint family. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
+    * join → |∩|/|∪| ≥ threshold. Shingles are md5-hashed so the join key is
+    * fixed-width (at 100 TB the shingle join shuffles hashes, not text). */
+  def docShingleJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val shingles = docs
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 3, 1)), " +
+            "i -> md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))))")).as("shingle"))
+      .distinct()
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b")), "doc_b")
+      .withColumn("jaccard_bp",
+        floor(lit(10000) * col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).cast("long"))
+      .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
+      .select("doc_a", "doc_b", "n_common", "jaccard_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH dedup buckets (scale path of near-dup detection): band
+    * buckets with ≥2 members. Not SQL-expressible → rows-only check. */
+  def docMinhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val mh = udf((text: String) => {
+      val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val shingles = if (tokens.length < 3) Seq(tokens.mkString(" "))
+        else tokens.sliding(3).map(_.mkString(" ")).toSeq
+      pkel.blocking.PairGen.bandHashes(pkel.blocking.PairGen.minhash(shingles, 32), 8).toSeq
+    })
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(collect_set("doc_id").as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("band"), col("bucket"), array_sort(col("docs")).as("docs"))
+      .orderBy("band", "bucket")
+  }
+
+  /** SimHash (64-bit) per document over word features — near-dup by hamming
+    * distance downstream. Rows-only check. */
+  def docSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = udf((text: String) => {
+      val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      tokens.foreach { tk =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(tk, 0x9747b28c).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(tk, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+        var i = 0
+        while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    })
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sim(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---- similarity search over embeddings ---------------------------------
+
+  /** Brute-force cosine top-k: query vectors (vec_id < 10) × all vectors,
+    * codegen'd zip_with/aggregate dot product, window top-k. */
+  def embedCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cosExpr = expr(
+      "aggregate(zip_with(qvec, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)" +
+        " / (sqrt(aggregate(qvec, cast(0.0 AS double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))" +
+        " * sqrt(aggregate(embedding, cast(0.0 AS double), (acc, v) -> acc + cast(v AS double) * cast(v AS double))))")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    queries.crossJoin(e)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosExpr)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .withColumn("cos_bp", floor(col("cos_sim") * 10000).cast("long"))
+      .select("query_id", "vec_id", "cos_bp", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Per-label embedding stats (vector aggregate via lambda expressions). */
+  def embedLabelStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("sq_norm",
+        expr("aggregate(embedding, cast(0.0 AS double), (acc, v) -> acc + cast(v AS double) * cast(v AS double))"))
+      .withColumn("sq_norm_q", floor(col("sq_norm") * 10000).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("sq_norm_q")).as("sum_sq_norm_q"))
+      .orderBy("label")
+
+  /** ANN scale path: random-hyperplane LSH bucketing + within-bucket
+    * brute-force top-1 neighbor. Rows-only check (bucketing not in SQL). */
+  def embedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 12
+    val sig = udf((v: Seq[Float]) => {
+      var out = 0
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+          s += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
+          i += 1
+        }
+        if (s > 0) out |= (1 << p)
+        p += 1
+      }
+      out
+    })
+    val e = t(spark, dir, "embeddings").withColumn("bucket", sig(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val b = e.select(col("bucket"), col("vec_id"), col("embedding"))
+    val cosExpr = expr(
+      "aggregate(zip_with(qvec, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    a.join(b, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(cosExpr, 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("query_id", "vec_id", "cos_sim")
+      .orderBy("query_id")
+  }
+
+  // ---- multimodal plumbing (binary payload + stubbed decode) -------------
+
+  /** Metadata over opaque binary payloads (text bytes stand in for media;
+    * at scale this is the parquet-scan + typed-metadata pattern). */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("doc_id")
+
+  /** Stubbed media decode: batched kernel over binary payloads producing a
+    * fixed-width feature vector (byte histogram moments). The decode itself
+    * is a deterministic fake — the Spark-side plumbing (binary column in,
+    * batch iteration, fixed schema out) is the real pattern. Rows-only. */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // STUB: stands in for image/audio decode (real libs unavailable
+        // offline). Deterministic 16-bin byte histogram, L1-normalized.
+        val hist = new Array[Double](16)
+        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1.0)
+        val n = math.max(1, bytes.length)
+        org.apache.spark.sql.Row(id, bytes.length, hist.map(_ / n).toSeq)
+      }
+    }(enc)
+      .orderBy("doc_id")
+  }
+
+  // ---- entity-linking pipeline exposure (rows-only; deterministic) -------
+
+  private def synthMentions(spark: SparkSession, dir: String) = {
+    val nConvs = if (dir.contains("0.1")) 2000L else if (dir.contains("0.01")) 500L else 100L
+    val entries = Ontology.load()
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)
+    (entries, pkel.app.Pipeline.extractMentions(transcripts))
+  }
+
+  /** Exact linker tier over synthesized transcript mentions. */
+  def elExact(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    pkel.link.ExactLinker.link(spark, keyed, Ontology.blockingIndex(entries))
+      .select("mention_id", "blocking_key", "y_pred", "status")
+      .orderBy("mention_id")
+  }
+
+  /** Full cascade tier/status distribution. */
+  def elCascade(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
+      .groupBy("tier", "status").agg(count(lit(1)).as("n"))
+      .orderBy("tier", "status")
+  }
+
+  /** End-to-end clustering: cluster size distribution. */
+  def elClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    val pairs = pkel.blocking.PairGen.candidatePairs(
+      keyed.select("mention_id", "blocking_key", "tokens"))
+    val feats = keyed.select(col("mention_id"), col("blocking_key"), col("mention"))
+    val a = feats.select(col("mention_id").as("src"), col("blocking_key").as("key_a"), col("mention").as("mention_a"))
+    val b = feats.select(col("mention_id").as("dst"), col("blocking_key").as("key_b"), col("mention").as("mention_b"))
+    val scored = pkel.scoring.PairScorer.scorePairs(pairs.join(a, "src").join(b, "dst"))
+    val edges = scored.filter(col("score") >= 0.9).select("src", "dst")
+    val comps = pkel.cluster.ConnectedComponents.run(spark, edges)
+    comps.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+}
