@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: runs the operator battery + a scored-pairs/sec probe
+  * of the EL pipeline, prints ONE JSON line (driver contract). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores: finer tasks smooth bucket skew (AQE coalesces small ones)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Scored candidate pairs per second on a synthetic transcript corpus
+    * (blocking + LSH pair gen + batched scoring kernel, forced via count). */
+  def pairThroughput(spark: SparkSession, nConvs: Long): (Long, Double) = {
+    val entries = pkel.ontology.Ontology.load()
+    val transcripts = pkel.transcript.TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)
+    val mentions = pkel.app.Pipeline.extractMentions(transcripts)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+      .select("mention_id", "blocking_key", "tokens", "mention")
+      .persist()
+    keyed.count() // isolate scoring cost from extraction
+    val t0 = System.nanoTime()
+    val pairs = pkel.blocking.PairGen.candidatePairsWithFeatures(
+      keyed.select("mention_id", "blocking_key", "tokens", "mention"))
+    val scored = pkel.scoring.PairScorer.scorePairs(pairs)
+    val n = scored.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    keyed.unpersist()
+    (n, n / sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nConvs = if (sfDir.contains("0.1")) 4000L else if (sfDir.contains("0.01")) 1000L else 200L
+    val tp0 = System.nanoTime()
+    val (nPairs, pairsPerSec) = pairThroughput(spark, nConvs)
+    val pairSec = (System.nanoTime() - tp0) / 1e9
+    val all = results :+ ("el_pair_scoring" -> pairSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scored_pairs":$nPairs,"scored_pairs_per_sec":$pairsPerSec,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

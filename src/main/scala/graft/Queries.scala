@@ -372,12 +372,9 @@ object Queries {
   def elClusters(spark: SparkSession, dir: String): DataFrame = {
     val (entries, mentions) = synthMentions(spark, dir)
     val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
-    val pairs = pkel.blocking.PairGen.candidatePairs(
-      keyed.select("mention_id", "blocking_key", "tokens"))
-    val feats = keyed.select(col("mention_id"), col("blocking_key"), col("mention"))
-    val a = feats.select(col("mention_id").as("src"), col("blocking_key").as("key_a"), col("mention").as("mention_a"))
-    val b = feats.select(col("mention_id").as("dst"), col("blocking_key").as("key_b"), col("mention").as("mention_b"))
-    val scored = pkel.scoring.PairScorer.scorePairs(pairs.join(a, "src").join(b, "dst"))
+    val pairs = pkel.blocking.PairGen.candidatePairsWithFeatures(
+      keyed.select("mention_id", "blocking_key", "tokens", "mention"))
+    val scored = pkel.scoring.PairScorer.scorePairs(pairs)
     val edges = scored.filter(col("score") >= 0.9).select("src", "dst")
     val comps = pkel.cluster.ConnectedComponents.run(spark, edges)
     comps.groupBy("root").agg(count(lit(1)).as("cluster_size"))

@@ -101,17 +101,13 @@ object Pipeline {
       Cascade.run(spark, keyed.drop("ordering_ok"), entries, cfg.cascade)
     }
 
-    // stage 4: candidate pairs (salted blocking keys + MinHash-LSH)
-    val pairs = io.readOrCompute("pairs", fp(cfg, "p")) {
-      PairGen.candidatePairs(keyed.select("mention_id", "blocking_key", "tokens"), cfg.pairCfg)
-    }
-
-    // stage 5: batched pair scoring
+    // stages 4+5: candidate pairs (salted blocking keys + MinHash-LSH) fused
+    // with batched scoring — pairs are born with both sides' features, so the
+    // kernel pipelines on the bucket-join output without shuffling pair rows
     val scored = io.readOrCompute("scored", fp(cfg, "s")) {
-      val feats = keyed.select(col("mention_id"), col("blocking_key"), col("mention"))
-      val a = feats.select(col("mention_id").as("src"), col("blocking_key").as("key_a"), col("mention").as("mention_a"))
-      val b = feats.select(col("mention_id").as("dst"), col("blocking_key").as("key_b"), col("mention").as("mention_b"))
-      PairScorer.scorePairs(pairs.join(a, "src").join(b, "dst"), cfg.weights)
+      val pairs = PairGen.candidatePairsWithFeatures(
+        keyed.select("mention_id", "blocking_key", "tokens", "mention"), cfg.pairCfg)
+      PairScorer.scorePairs(pairs, cfg.weights)
     }
 
     // stage 6: edge set. Mentions the cascade links to an entity take edges

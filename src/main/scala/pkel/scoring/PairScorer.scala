@@ -51,18 +51,34 @@ object PairScorer {
     val iMenB = pairs.schema.fieldIndex("mention_b")
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     pairs.mapPartitions { rows =>
-      // per-partition embedding memo: mentions repeat across pairs in a block
-      val memo = new java.util.HashMap[String, Array[Float]](1024)
+      // Two per-partition memos: embeddings per surface, and the full score
+      // per (key_a,key_b,mention_a,mention_b) combo — transcript-scale data
+      // repeats surface combinations massively, so most pairs are a hash
+      // lookup. Bounded to keep worst-case (all-unique) memory flat.
+      val embMemo = new java.util.HashMap[String, Array[Float]](1024)
+      val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
+      val memoCap = 200000
       def embed(s: String): Array[Float] = {
-        var v = memo.get(s)
-        if (v == null) { v = embedder.encode(s); memo.put(s, v) }
+        var v = embMemo.get(s)
+        if (v == null) {
+          v = embedder.encode(s)
+          if (embMemo.size < memoCap) embMemo.put(s, v)
+        }
         v
       }
       rows.map { r =>
         def s(i: Int): String = if (r.isNullAt(i)) "" else r.getString(i)
-        val (keySim, jw, cos, combined) =
-          score(s(iKeyA), s(iKeyB), s(iMenA), s(iMenB), embed(s(iMenA)), embed(s(iMenB)), w)
-        Row.fromSeq(r.toSeq ++ Seq(keySim, jw, cos, combined))
+        val keyA = s(iKeyA); val keyB = s(iKeyB)
+        val menA = s(iMenA); val menB = s(iMenB)
+        val comboKey = keyA + "" + keyB + "" + menA + "" + menB
+        var v = comboMemo.get(comboKey)
+        if (v == null) {
+          val (keySim, jw, cos, combined) =
+            score(keyA, keyB, menA, menB, embed(menA), embed(menB), w)
+          v = Array(keySim, jw, cos, combined)
+          if (comboMemo.size < memoCap) comboMemo.put(comboKey, v)
+        }
+        Row.fromSeq(r.toSeq ++ Seq(v(0), v(1), v(2), v(3)))
       }
     }(encoder)
   }

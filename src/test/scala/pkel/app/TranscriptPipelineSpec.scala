@@ -77,7 +77,7 @@ class TranscriptPipelineSpec extends SparkSpec {
     assert(s2.wallSec < s1.wallSec, "resumed run should be faster (no recompute)")
     // metrics table has rows for every stage
     val stages = io1.metrics().select("stage").distinct().collect().map(_.getString(0)).toSet
-    assert(Set("mentions", "keyed", "linked", "pairs", "scored", "edges", "components", "clusters")
+    assert(Set("mentions", "keyed", "linked", "scored", "edges", "components", "clusters")
       .subsetOf(stages), s"missing stage metrics: $stages")
   }
 
