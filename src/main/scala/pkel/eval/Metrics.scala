@@ -106,6 +106,31 @@ object Metrics {
     PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
   }
 
+  /** Confusion-matrix counts (A4, `evaluation.py:123-172` minus plotting):
+    * (y_true, y_pred, n) — pivot client-side if a matrix is wanted. */
+  def confusionCounts(preds: DataFrame): DataFrame =
+    preds.groupBy("y_true", "y_pred").agg(count(lit(1)).as("n"))
+      .orderBy("y_true", "y_pred")
+
+  /** Misclassification listing (A3, `evaluation.py:92-120`): first
+    * `maxErrors` rows where y_true ≠ y_pred, with the display text. */
+  def classificationErrors(preds: DataFrame, textCol: String = "text",
+      maxErrors: Int = 100): DataFrame =
+    preds.filter(col("y_true") =!= col("y_pred"))
+      .select(col(textCol).as("text"), col("y_true").as("true"), col("y_pred").as("pred"))
+      .limit(maxErrors)
+
+  /** Per-source evaluation (A7/A8, `biencoder_linker.py:73-153`): one metrics
+    * row per value of `sourceCol`. */
+  def evaluateBySource(preds: DataFrame, sourceCol: String = "source"): Map[String, ClassificationMetrics] = {
+    val sources = preds.select(sourceCol).distinct().collect().map(_.getString(0))
+    sources.map(s => s -> evaluate(preds.filter(col(sourceCol) === s))).toMap
+  }
+
+  /** Label-distribution EDA (A6, `data_exploration.py:8-101`). */
+  def labelDistribution(preds: DataFrame, labelCol: String = "label"): DataFrame =
+    preds.groupBy(labelCol).agg(count(lit(1)).as("n")).orderBy(desc("n"), col(labelCol))
+
   /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349`):
     * one conditional-aggregate pass. Input columns: label, subset_matched,
     * subsetted_concepts (array), category of label via paramToCategory map. */

@@ -61,6 +61,62 @@ object Features {
     (html: String, tagged: String, rowIdx: Int, colIdx: Int) =>
       HtmlTable.retrievalContext(Option(html).getOrElse(""), Option(tagged).getOrElse(""), rowIdx, colIdx))
 
+  /** Alternative table-cell context features (P7,
+    * `data_preprocessing.py:193-264`). */
+  def cellHeadersFeature(table: Seq[Seq[String]], tagged: String, row: Int, col: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"[TABLE CELL] $tagged"
+    if (row < table.length && col < table(row).length) {
+      val rowHeader = if (table(row).nonEmpty) table(row).head else ""
+      val colHeader = if (table.nonEmpty && col < table.head.length) table.head(col) else ""
+      if (col != 0 && rowHeader.nonEmpty) parts += s"[ROW-HEADER] $rowHeader"
+      if (row != 0 && colHeader.nonEmpty) parts += s"[COL-HEADER] $colHeader"
+    }
+    parts.result().mkString(" ")
+  }
+
+  def cellRowColFeature(table: Seq[Seq[String]], tagged: String, rowIdx: Int, colIdx: Int): String = {
+    val rowContent = if (rowIdx >= 0 && rowIdx < table.length) table(rowIdx) else Seq.empty
+    val colContent = table.collect { case r if colIdx >= 0 && colIdx < r.length => r(colIdx) }
+    val parts = Seq.newBuilder[String]
+    parts += s"[CELL] $tagged"
+    if (rowContent.nonEmpty) parts += s"[ROW] ${rowContent.mkString(" | ")}"
+    if (colContent.nonEmpty) parts += s"[COL] ${colContent.mkString(" | ")}"
+    parts.result().mkString(" ")
+  }
+
+  def cellFooterCaptionFeature(tagged: String, caption: String, footer: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"[CELL] $tagged"
+    if (caption != null && caption.nonEmpty) parts += s"[CAPTION] ${caption.trim}"
+    if (footer != null && footer.nonEmpty) parts += s"[FOOTER] ${footer.trim}"
+    parts.result().mkString(" ")
+  }
+
+  def cellFullContextFeature(table: Seq[Seq[String]], tagged: String, rowIdx: Int,
+      colIdx: Int, caption: String, footer: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += cellRowColFeature(table, tagged, rowIdx, colIdx)
+    if (caption != null && caption.nonEmpty) parts += s"[CAPTION] ${caption.trim}"
+    if (footer != null && footer.nonEmpty) parts += s"[FOOTER] ${footer.trim}"
+    parts.result().mkString(" ")
+  }
+
+  /** Prompt-context assembly (P10, `data_preprocessing.py:311-388`) — kept
+    * for the pluggable external-scorer tier (the LLM tier itself is an
+    * external call and out of the offline engine's scope). */
+  def textContextForLlm(tagged: String): String =
+    "The following context is provided to help you. It shows the sentence from which the mention is derived with the mention tagged.\n" + tagged
+
+  def tableContextForLlm(rowContext: String, colContext: String, footer: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "The following context is provided to help you. \n It shows the table row and column from which the mention is derived (with mention tagged) and the table footer, if available."
+    if (rowContext.nonEmpty) parts += s"[ROW] ${rowContext.trim}"
+    if (colContext.nonEmpty) parts += s"[COLUMN] ${colContext.trim}"
+    if (footer != null && footer.nonEmpty) parts += s"[FOOTER] ${footer.trim}"
+    parts.result().mkString("\n")
+  }
+
   /** Adds mention features used by scoring tiers:
     * - text_with_tagged_mention (native exprs)
     * - mention_with_window (sentences: ±`textWindow` tokens; tables: tags only)

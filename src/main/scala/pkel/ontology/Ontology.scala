@@ -105,6 +105,18 @@ object Ontology {
     m.iterator.map { case (k, v) => (k, v.toSeq) }.toSeq
   }
 
+  /** Ontology → LLM prompt block (P12, `ontology_preprocessing.py:114-136`);
+    * used by the pluggable external-scorer tier. */
+  def formatForLlm(entries: Seq[OntologyEntry]): String =
+    entries.map { e =>
+      val syns = if (e.parameterSynonyms.nonEmpty) e.parameterSynonyms.mkString(" | ") else "N/A"
+      s"""[PARAM_NAME] ${e.parameterName}
+         |        [DESC] ${if (e.parameterDescription.nonEmpty) e.parameterDescription else "N/A"}
+         |        [SYN] $syns
+         |        [UNIT] ${if (e.units.nonEmpty) e.units else "N/A"}
+         |        [CATEGORY] ${if (e.parameterCategory.nonEmpty) e.parameterCategory else "N/A"}""".stripMargin
+    }.mkString("\n\n")
+
   /** Embedding text feature per entry
     * (`ontology_preprocessing.py:139-171`): `[PARAM] name [SYN] a | b
     * [DESC] … [UNIT] …`, name lowercased as in

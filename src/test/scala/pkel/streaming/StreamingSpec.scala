@@ -24,6 +24,7 @@ class StreamingSpec extends SparkSpec {
       .parquet(dir)
 
     val agg = streamIn
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -40,6 +41,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
 
     val batchResult = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
