@@ -23,6 +23,14 @@ object Cascade {
       biencoderK: Int = 5,
       biencoderThreshold: Double = 0.75,
       categoryConstrained: Boolean = true,
+      /** Graft extension (diverges from the reference, which defaults
+        * subset-unmatched mentions to NIL): when category blocking finds no
+        * subset, retrieval runs unconstrained instead of being forced empty —
+        * necessary for typo'd surfaces whose mangled tokens match no category
+        * regex. */
+      unconstrainedFallback: Boolean = true,
+      /** Raw-surface fuzzy threshold (graft extension tier). */
+      surfaceThreshold: Double = 90.0,
       textWindow: Int = 5)
 
   private val predCols = Seq("mention_id", "label", "blocking_key", "y_pred", "tier", "status", "score")
@@ -50,7 +58,12 @@ object Cascade {
       ExactLinker.StatusAmbiguous, ExactLinker.StatusUnlinked))
 
     // stage 2: category blocking on the residue
-    val subsetted = CategoryBlocker.withSubsets(residue1, entries)
+    val subsetted0 = CategoryBlocker.withSubsets(residue1, entries)
+    val subsetted =
+      if (cfg.unconstrainedFallback)
+        subsetted0.withColumn("subsetted_concepts",
+          when(col("subset_matched"), col("subsetted_concepts")))
+      else subsetted0
 
     // tier 2: fuzzy token scoring, category-constrained
     val fuzzy = FuzzyLinker.link(spark, subsetted.drop("y_pred", "status", "tier"),
@@ -60,13 +73,22 @@ object Cascade {
     val residue2 = fuzzy.filter(col("status") === "unlinked")
       .drop("pred_ids", "pred_scores", "y_pred", "status", "tier", "score")
 
-    // tier 3: bi-encoder retrieval on the remaining residue
-    val bienc = BiencoderLinker.link(spark, residue2, entries,
+    // tier 3 (graft extension): typo-tolerant raw-surface fuzzy pass
+    val surface = FuzzyLinker.linkRawSurface(spark, residue2,
+      Ontology.surfaceIndex(entries), cfg.surfaceThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surfaceLinked = surface.filter(col("status") === "linked")
+    val residue3 = surface.filter(col("status") === "unlinked")
+      .drop("y_pred", "status", "tier", "score")
+
+    // tier 4: bi-encoder retrieval on the remaining residue
+    val bienc = BiencoderLinker.link(spark, residue3, entries,
       featureCol = "retrieval_feature", cfg.biencoderK, cfg.biencoderThreshold,
       cfg.categoryConstrained)
 
     exactEmitted.select(predCols.map(col): _*)
       .unionByName(fuzzyLinked.select(predCols.map(col): _*))
+      .unionByName(surfaceLinked.select(predCols.map(col): _*))
       .unionByName(bienc.select(predCols.map(col): _*))
   }
 }

@@ -53,6 +53,45 @@ object FuzzyLinker {
       .take(k)
   }
 
+  /** Typo-tolerant raw-surface pass (graft extension; the reference's
+    * token-mode scoring cannot bridge typos because a typo'd token defeats
+    * the regex canonicalization entirely). Scores the basic-normalized
+    * mention against every unambiguous ontology surface with `indelRatio`;
+    * links iff the best score ≥ `threshold` (default 90 — strict enough that
+    * short confusable surfaces like cl/clr never cross it).
+    * Input columns: `mention` + passthrough. Output: + (y_pred, score,
+    * status, tier). */
+  def linkRawSurface(spark: SparkSession, residue: DataFrame,
+      surfaceIndex: Seq[(String, String)], threshold: Double = 90.0): DataFrame = {
+    val index = surfaceIndex.toArray
+    val outSchema = StructType(residue.schema.fields.toSeq ++ Seq(
+      StructField("y_pred", StringType),
+      StructField("score", DoubleType),
+      StructField("status", StringType),
+      StructField("tier", StringType)))
+    val mentionIdx = residue.schema.fieldIndex("mention")
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    residue.mapPartitions { rows =>
+      rows.map { row =>
+        val mention = if (row.isNullAt(mentionIdx)) "" else row.getString(mentionIdx)
+        val norm = pkel.text.BasicNormalizer(mention).trim.replaceAll("\\s+", " ")
+        var bestScore = 0.0
+        var bestId = "Q100"
+        var i = 0
+        while (i < index.length) {
+          val s = Similarity.indelRatio(norm, index(i)._1)
+          if (s > bestScore || (s == bestScore && bestId > index(i)._2)) {
+            bestScore = s; bestId = index(i)._2
+          }
+          i += 1
+        }
+        val (yPred, status) =
+          if (bestScore >= threshold) (bestId, "linked") else ("Q100", "unlinked")
+        Row.fromSeq(row.toSeq ++ Seq(yPred, if (bestScore >= threshold) bestScore else 0.0, status, "fuzzy_surface"))
+      }
+    }(encoder)
+  }
+
   /** Run the fuzzy tier over residue mentions.
     * Input columns: mention_id, label, tokens, subsetted_concepts (nullable).
     * Output: input + (pred_ids, pred_scores, y_pred, score, status, tier). */

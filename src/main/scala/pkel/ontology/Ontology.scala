@@ -105,6 +105,21 @@ object Ontology {
     m.iterator.map { case (k, v) => (k, v.toSeq) }.toSeq
   }
 
+  /** Raw-surface index for typo-tolerant fuzzy linking (graft extension):
+    * basic-normalized variant surface → parameter id. Surfaces claimed by
+    * more than one entity are dropped (ambiguity is the exact tier's job). */
+  def surfaceIndex(entries: Seq[OntologyEntry]): Seq[(String, String)] = {
+    val m = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+    entries.foreach { e =>
+      (e.parameterName +: e.parameterSynonyms.filter(_.nonEmpty)).foreach { v =>
+        val key = pkel.text.BasicNormalizer(v).trim.replaceAll("\\s+", " ")
+        if (key.nonEmpty)
+          m.getOrElseUpdate(key, mutable.LinkedHashSet.empty) += e.parameterId
+      }
+    }
+    m.iterator.collect { case (k, ids) if ids.size == 1 => (k, ids.head) }.toSeq
+  }
+
   /** Ontology → LLM prompt block (P12, `ontology_preprocessing.py:114-136`);
     * used by the pluggable external-scorer tier. */
   def formatForLlm(entries: Seq[OntologyEntry]): String =

@@ -56,12 +56,31 @@ object TranscriptSynth {
   private val roles = IndexedSeq("user", "assistant", "tool")
   private val tools = IndexedSeq(null, "search", "calculator", "table_reader")
 
+  /** Deterministic surface typo: drop one inner char of the longest word of
+    * length ≥ 7 (long enough that edit similarity to the clean form stays
+    * above the fuzzy threshold). Returns the input unchanged if no word
+    * qualifies. */
+  def typo(surface: String, h: Long): String = {
+    val words = surface.split(" ")
+    val idx = words.indices.filter(i => words(i).length >= 7)
+    if (idx.isEmpty) surface
+    else {
+      val wi = idx(((h >>> 3) % idx.length).toInt)
+      val w = words(wi)
+      val cut = 1 + (((h >>> 13) & 0x7FFFFFFF) % (w.length - 2)).toInt
+      words(wi) = w.substring(0, cut) + w.substring(cut + 1)
+      words.mkString(" ")
+    }
+  }
+
   /** Generate `nConvs` conversations × `turnsPerConv` turns. `mentionRate` of
     * turns carry one mention (entity chosen by hash; `nilRate` of mention
-    * turns carry a NIL decoy instead). */
+    * turns carry a NIL decoy instead; `typoRate` of entity mentions get a
+    * deterministic one-char typo — the near-duplicate workload for the fuzzy
+    * tier and the LSH pair generator). */
   def generate(spark: SparkSession, entries: Seq[OntologyEntry], nConvs: Long,
       turnsPerConv: Int = 8, seed: Long = 42L, mentionRate: Double = 0.7,
-      nilRate: Double = 0.1): DataFrame = {
+      nilRate: Double = 0.1, typoRate: Double = 0.03): DataFrame = {
     val vs = variants(entries)
     val bVs = spark.sparkContext.broadcast(vs)
     val bNil = spark.sparkContext.broadcast(NilDecoys.toIndexedSeq)
@@ -72,6 +91,7 @@ object TranscriptSynth {
     import spark.implicits._
     val mentionThreshold = (mentionRate * (1L << 32)).toLong
     val nilThreshold = (nilRate * (1L << 32)).toLong
+    val typoThreshold = (typoRate * (1L << 32)).toLong
 
     spark.range(nConvs * turnsPerConv)
       .select(
@@ -100,7 +120,11 @@ object TranscriptSynth {
               val isNil = (h(3) >>> 32) < nilThreshold
               val (surface, ctx) =
                 if (isNil) (nilL(pick(4, nilL.length)), "")
-                else { val v = vsL(pick(6, vsL.length)); (v.surface, v.context) }
+                else {
+                  val v = vsL(pick(6, vsL.length))
+                  val s = if ((h(9) >>> 32) < typoThreshold) typo(v.surface, h(10)) else v.surface
+                  (s, v.context)
+                }
               val pre = preL(pick(7, preL.length))
               val suf = sufL(pick(8, sufL.length))
               val ctxPart = if (ctx.nonEmpty) s" $ctx" else ""
