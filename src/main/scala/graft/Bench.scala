@@ -26,7 +26,7 @@ object Bench {
   /** Materialize the keyed-mention table for `nConvs` conversations to a
     * parquet path (idempotent per (nConvs, seed)) and return the path. */
   def materializeKeyed(spark: SparkSession, nConvs: Long, baseDir: String = "/dev/shm/pkel-bench"): String = {
-    val path = s"$baseDir/keyed_$nConvs"
+    val path = s"$baseDir/keyed_v${pkel.transcript.TranscriptSynth.version}_$nConvs"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
       val entries = pkel.ontology.Ontology.load()
       val transcripts = pkel.transcript.TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)

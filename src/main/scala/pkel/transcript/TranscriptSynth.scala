@@ -18,6 +18,9 @@ import pkel.model.OntologyEntry
   */
 object TranscriptSynth {
 
+  /** Bump when generation semantics change (bench caches key on this). */
+  val version = 2
+
   /** One selectable surface form. `context` is appended after the mention so
     * ambiguous families (km, t1/2) satisfy their disambiguation regexes. */
   final case class Variant(paramId: String, surface: String, context: String)
