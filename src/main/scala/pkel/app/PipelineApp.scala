@@ -1,0 +1,66 @@
+package pkel.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import pkel.io.TableIO
+import pkel.ontology.Ontology
+import pkel.transcript.TranscriptSynth
+
+/** spark-submit entry point for the transcript record-linkage pipeline
+  * (north rule: "runs via spark-submit ... resumes idempotently").
+  *
+  * {{{
+  * spark-submit --class pkel.app.PipelineApp \
+  *   --master local[8] target/scala-2.13/<jar> \
+  *   --convs 10000 --out /tmp/pkel-run [--input <transcripts.parquet>] [--seed 42]
+  * }}}
+  *
+  * With `--input`, reads an existing transcript table (conv_id, turn_idx,
+  * role, text, tool, ts); otherwise synthesizes `--convs` conversations
+  * deterministically (then gold labels are known and pairwise F1 is
+  * reported). Re-running with the same `--out` resumes from the committed
+  * stage snapshots.
+  */
+object PipelineApp {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val out = opts.getOrElse("out", "/tmp/pkel-run")
+    val nConvs = opts.getOrElse("convs", "1000").toLong
+    val seed = opts.getOrElse("seed", "42").toLong
+
+    val spark = SparkSession.builder()
+      .appName("pkel-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val entries = Ontology.load()
+    val (transcripts, gold) = opts.get("input") match {
+      case Some(path) =>
+        (spark.read.parquet(path), None)
+      case None =>
+        val t = TranscriptSynth.generate(spark, entries, nConvs, seed = seed)
+        val goldUdf = udf((convId: String, turn: Int) =>
+          TranscriptSynth.goldFor(entries, seed, convId.stripPrefix("c").toLong, turn).orNull)
+        val g = Pipeline.extractMentions(t)
+          .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+          .filter(col("gold").isNotNull)
+        (t, Some(g))
+    }
+
+    val io = new TableIO(spark, out, s"run-${java.util.UUID.randomUUID().toString.take(8)}")
+    val (clusters, summary) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io, gold)
+
+    println(s"clusters written under $out/clusters; metrics under $out/_metrics")
+    println(
+      f"""{"mentions":${summary.mentions},"pairs":${summary.pairs},"edges":${summary.edges},"clusters":${summary.clusters},"pairwise_f1":${summary.pairwiseF1}%.4f,"pairwise_f1_at_key":${summary.pairwiseF1AtKey}%.4f,"wall_sec":${summary.wallSec}%.1f}""")
+    spark.stop()
+  }
+}
