@@ -169,8 +169,16 @@ object Queries {
 
   /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
     * join → |∩|/|∪| ≥ threshold. Shingles are md5-hashed so the join key is
-    * fixed-width (at 100 TB the shingle join shuffles hashes, not text). */
-  def docShingleJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    * fixed-width (at 100 TB the shingle join shuffles hashes, not text).
+    *
+    * Scale guard: shingles whose document frequency exceeds `dfCap` are
+    * dropped before the self-join (a stop-word-ish shingle shared by N docs
+    * would otherwise fan out N² intersection rows). High-df near-dups are the
+    * MinHash path's regime; denominators keep the full per-doc shingle count
+    * so dropped shingles only lower recall at the margin, never correctness
+    * of the emitted scores. */
+  def docShingleJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      dfCap: Int = 100): DataFrame = {
     val docs = t(spark, dir, "documents")
     val shingles = docs
       .select(col("doc_id"),
@@ -179,8 +187,11 @@ object Queries {
             "i -> md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))))")).as("shingle"))
       .distinct()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    val rare = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("shingle")
+    val joinable = shingles.join(rare, "shingle")
+    val a = joinable.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = joinable.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
@@ -205,9 +216,13 @@ object Queries {
     })
     t(spark, dir, "documents")
       .select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
-      .groupBy("band", "bucket").agg(collect_set("doc_id").as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(col("band"), col("bucket"), array_sort(col("docs")).as("docs"))
+      .groupBy("band", "bucket").agg(collect_set("doc_id").as("doc_set"))
+      .filter(size(col("doc_set")) > 1)
+      // scalar output columns only: the driver's hash/sort comparator cannot
+      // order array cells, so the member list is emitted as a joined string
+      .select(col("band"), col("bucket"),
+        size(col("doc_set")).as("n_docs"),
+        concat_ws(",", array_sort(col("doc_set"))).as("docs"))
       .orderBy("band", "bucket")
   }
 
@@ -256,12 +271,16 @@ object Queries {
       .orderBy("query_id", "rk")
   }
 
-  /** Per-label embedding stats (vector aggregate via lambda expressions). */
+  /** Per-label embedding stats (vector aggregate via lambda expressions).
+    * Each element is floor-quantized to a BIGINT BEFORE any accumulation so
+    * the arithmetic is exact and engine-independent (summing doubles first
+    * lands on either side of the floor boundary depending on the engine's
+    * accumulation order). */
   def embedLabelStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
-      .withColumn("sq_norm",
-        expr("aggregate(embedding, cast(0.0 AS double), (acc, v) -> acc + cast(v AS double) * cast(v AS double))"))
-      .withColumn("sq_norm_q", floor(col("sq_norm") * 10000).cast("long"))
+      .withColumn("sq_norm_q",
+        expr("aggregate(embedding, cast(0 AS bigint), (acc, v) -> acc + " +
+          "cast(floor((cast(v AS double) * cast(v AS double)) * 10000.0) AS bigint))"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), sum(col("sq_norm_q")).as("sum_sq_norm_q"))
       .orderBy("label")
@@ -325,18 +344,27 @@ object Queries {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_bytes", IntegerType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("dominant_bin", IntegerType),
+      StructField("dominant_bp", LongType),
+      StructField("features_md5", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     docs.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         // STUB: stands in for image/audio decode (real libs unavailable
-        // offline). Deterministic 16-bin byte histogram, L1-normalized.
-        val hist = new Array[Double](16)
-        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1.0)
-        val n = math.max(1, bytes.length)
-        org.apache.spark.sql.Row(id, bytes.length, hist.map(_ / n).toSeq)
+        // offline). Deterministic 16-bin byte histogram; the feature vector is
+        // emitted as scalars (argmax bin, its basis-point mass, and an md5 of
+        // the quantized bins) so the driver's comparator can sort/hash rows.
+        val hist = new Array[Long](16)
+        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1L)
+        val n = math.max(1L, bytes.length.toLong)
+        val bp = hist.map(h => h * 10000L / n)
+        var best = 0
+        var i = 1
+        while (i < 16) { if (bp(i) > bp(best)) best = i; i += 1 }
+        org.apache.spark.sql.Row(id, bytes.length, best, bp(best),
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(bp.mkString(",")))
       }
     }(enc)
       .orderBy("doc_id")
@@ -344,8 +372,17 @@ object Queries {
 
   // ---- entity-linking pipeline exposure (rows-only; deterministic) -------
 
+  /** Numeric scale factor parsed from a testdata dir name (".../sf0.01");
+    * substring matching would map sf ≥ 1 to the smallest corpus. */
+  def sfOf(dir: String): Double =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+
+  /** Conversation count for a scale factor: monotone in sf, floored at `base`. */
+  def convsForSf(sf: Double, base: Long): Long =
+    math.max(base, (base * 200 * sf).toLong)
+
   private def synthMentions(spark: SparkSession, dir: String) = {
-    val nConvs = if (dir.contains("0.1")) 2000L else if (dir.contains("0.01")) 500L else 100L
+    val nConvs = convsForSf(sfOf(dir), base = 100L)
     val entries = Ontology.load()
     val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)
     (entries, pkel.app.Pipeline.extractMentions(transcripts))

@@ -150,9 +150,11 @@ object SparkEntry {
         |    i -> MD5(ARRAY_TO_STRING(w[i:i+3], ' ')))) AS shingle
         | FROM toks),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
         |inter AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_common,
         | CAST(FLOOR(10000 * n_common / (ca.n_shingles + cb.n_shingles - n_common)) AS BIGINT) AS jaccard_bp
@@ -162,10 +164,10 @@ object SparkEntry {
         |WHERE FLOOR(10000 * n_common / (ca.n_shingles + cb.n_shingles - n_common)) >= 2000
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_embed_label_stats" ->
-      """SELECT label, COUNT(*) AS n, SUM(sq_norm_q) AS sum_sq_norm_q FROM (
+      """SELECT label, COUNT(*) AS n, CAST(SUM(sq_norm_q) AS BIGINT) AS sum_sq_norm_q FROM (
         | SELECT label,
-        |  CAST(FLOOR(10000 * LIST_SUM(LIST_TRANSFORM(embedding,
-        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS BIGINT) AS sq_norm_q
+        |  CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+        |    v -> CAST(FLOOR((CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) * 10000.0) AS BIGINT))) AS BIGINT) AS sq_norm_q
         | FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_cosine_topk" ->

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType}
+import pkel.SparkSpec
+
+/** Driver-battery guards: scale-factor parsing is monotone, and every
+  * registered query emits only scalar columns (the driver's hash/sort
+  * comparator cannot order array cells — round-1 `q_doc_minhash_buckets` /
+  * `q_mm_decode_stub` failure mode). */
+class QueriesSpec extends SparkSpec {
+
+  test("sfOf parses the numeric scale factor, not a substring") {
+    assert(Queries.sfOf("/root/testdata/sf0.001") == 0.001)
+    assert(Queries.sfOf("/root/testdata/sf0.01") == 0.01)
+    assert(Queries.sfOf("/root/testdata/sf0.1") == 0.1)
+    assert(Queries.sfOf("/root/testdata/sf1") == 1.0)
+    assert(Queries.sfOf("/root/testdata/sf10") == 10.0)
+  }
+
+  test("convsForSf is monotone in sf and floored") {
+    val sfs = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
+    val convs = sfs.map(Queries.convsForSf(_, base = 100L))
+    assert(convs == convs.sorted, s"not monotone: $convs")
+    assert(convs.head == 100L)
+    assert(Queries.convsForSf(1.0, 100L) > Queries.convsForSf(0.1, 100L) * 5)
+  }
+
+  test("all battery queries emit scalar (sortable) columns only") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    // rows-only queries included: the driver still sorts+hashes their output
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("q_el_")) {
+      val schema = fn(spark, dir).schema
+      val bad = schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+      assert(bad.isEmpty, s"$name has non-scalar columns: ${bad.map(_.name).mkString(",")}")
+    }
+  }
+
+  test("de-arrayified queries still return rows") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    assert(Queries.docMinhashBuckets(spark, dir).count() > 0)
+    assert(Queries.mmDecodeStub(spark, dir).count() > 0)
+    assert(Queries.embedLabelStats(spark, dir).count() > 0)
+    assert(Queries.docShingleJaccard(spark, dir).count() > 0)
+  }
+}
