@@ -27,6 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pre-size the heap: the ramp from the default small -Xms inflates the
+  // first benchmark reps with GC churn that later reps don't pay
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.getOrElse("SPARK_GC_OPTS", "-XX:+UseParallelGC").split(" ").filter(_.nonEmpty).toSeq
 // ParallelGC default: measured ~1.5x faster than G1 for the 32-thread batch
 // workloads in this environment (see BENCH/BASELINE.md)

@@ -409,9 +409,8 @@ object Queries {
   def elClusters(spark: SparkSession, dir: String): DataFrame = {
     val (entries, mentions) = synthMentions(spark, dir)
     val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
-    val pairs = pkel.blocking.PairGen.candidatePairsWithFeatures(
+    val scored = pkel.scoring.PairScorer.scoreCandidates(
       keyed.select("mention_id", "blocking_key", "tokens", "mention"))
-    val scored = pkel.scoring.PairScorer.scorePairs(pairs)
     val edges = scored.filter(col("score") >= 0.9).select("src", "dst")
     val comps = pkel.cluster.ConnectedComponents.run(spark, edges)
     comps.groupBy("root").agg(count(lit(1)).as("cluster_size"))

@@ -39,7 +39,17 @@ object Pipeline {
       weights: PairScorer.Weights = PairScorer.Weights(),
       edgeThreshold: Double = 0.90,
       cascade: Cascade.Config = Cascade.Config(),
-      useAnchors: Boolean = true)
+      useAnchors: Boolean = true,
+      /** Compute the per-mention embedding ONCE on the keyed-mention table
+        * and carry it through `PairGen` into the scoring kernel (encoder cost
+        * O(mentions), shuffle +vec bytes). When false the kernel encodes from
+        * the raw surface behind a bounded per-partition memo (encoder cost up
+        * to O(pairs), shuffle lean). Measured on the transcript corpus
+        * (repetitive surfaces, memo hit rate ≈ 1): memo 24.7M pairs/s vs
+        * vec-carry 8.7M — so false is the default here; flip it when surface
+        * cardinality is high enough to thrash the memo (see PairScorerSpec's
+        * unique-surface case). */
+      precomputeVecs: Boolean = false)
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -48,6 +58,10 @@ object Pipeline {
 
   private def fp(cfg: Config, extra: String = ""): String =
     (cfg.toString + extra).hashCode.toHexString
+
+  /** Per-mention embedding column (computed once, carried through PairGen). */
+  private val embedVecUdf =
+    udf((s: String) => pkel.scoring.Embedder.default.encode(Option(s).getOrElse("")))
 
   /** Anchor node id for an entity: "Q57" → −58 (strictly below all mention ids). */
   def anchorId(paramId: String): Long = {
@@ -105,9 +119,11 @@ object Pipeline {
     // with batched scoring — pairs are born with both sides' features, so the
     // kernel pipelines on the bucket-join output without shuffling pair rows
     val scored = io.readOrCompute("scored", fp(cfg, "s")) {
-      val pairs = PairGen.candidatePairsWithFeatures(
-        keyed.select("mention_id", "blocking_key", "tokens", "mention"), cfg.pairCfg)
-      PairScorer.scorePairs(pairs, cfg.weights)
+      val base = keyed.select("mention_id", "blocking_key", "tokens", "mention")
+      val forPairs =
+        if (cfg.precomputeVecs) base.withColumn("vec", embedVecUdf(col("mention")))
+        else base
+      PairScorer.scoreCandidates(forPairs, cfg.pairCfg, cfg.weights)
     }
 
     // stage 6: edge set. Mentions the cascade links to an entity take edges

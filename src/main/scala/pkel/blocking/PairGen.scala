@@ -1,6 +1,7 @@
 package pkel.blocking
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
@@ -14,14 +15,19 @@ import scala.util.hashing.MurmurHash3
   *   ≈ `targetBucketSize` members and per-key pair cost is O(n·target), not
   *   O(n²); a lag-chain over bucket representatives keeps each key's mentions
   *   transitively connected, so clusters are salt-invariant;
-  * - pairs are emitted WITH both sides' scoring features (blocking key + raw
-  *   mention), carried through the bucket self-join: the expensive shuffle
-  *   moves O(mentions) bucket rows, never O(pairs) rows, and the scoring
-  *   kernel runs pipelined in the same stage as the join output;
+  * - the whole generator costs TWO data-scale shuffles: one window pass on
+  *   `blocking_key` (per-key frequency for salting + per-key representative
+  *   for LSH, in the same exchange) and one `groupBy(bucket_key)` whose
+  *   collect_list feeds an index-pair explosion — pairs are born in the
+  *   final stage with both sides' scoring features attached, so the scoring
+  *   kernel pipelines on the explode output and pair rows NEVER shuffle;
   * - MinHash-LSH runs over *distinct* blocking keys (one representative
   *   mention per key): all mentions of a key share one token set, so banding
   *   them individually would replicate every hot key's block once per band.
   *   Degenerate (oversized) LSH buckets are dropped wholesale;
+  * - features carried through pairs are `mention` plus, when the input has a
+  *   `vec` column, the precomputed per-mention embedding — at scale the
+  *   encoder then runs O(mentions) times instead of O(pairs);
   * - duplicate pairs across generators are tolerated downstream (CC dedupes
   *   edges; scoring is idempotent) — no global distinct shuffle.
   */
@@ -34,7 +40,11 @@ object PairGen {
       maxBucketSize: Int = 1000,
       targetBucketSize: Int = 64,    // adaptive mode: aim C(target,2) pairs/bucket
       maxSaltFactor: Int = 4096,
-      adaptiveSalt: Boolean = true)
+      adaptiveSalt: Boolean = true,
+      /** Pair explosion strategy: collect_list + index-pair explosion (one
+        * shuffle of the bucket rows) vs bucket-key self-join (two shuffles,
+        * but whole-stage-codegen'd). */
+      fusedBuckets: Boolean = true)
 
   /** MinHash signature of a token set: k seeded min-hashes. */
   def minhash(tokens: Seq[String], k: Int): Array[Int] = {
@@ -65,91 +75,184 @@ object PairGen {
   private val minhashUdf = udf((tokens: Seq[String], k: Int, bands: Int) =>
     bandHashes(minhash(Option(tokens).getOrElse(Seq.empty), k), bands))
 
-  private val pairCols = Seq("src", "dst", "key_a", "key_b", "mention_a", "mention_b")
+  /** Scoring features carried through pairs: the raw mention surface always,
+    * the precomputed embedding column when the caller provides one. */
+  private def featureCols(df: DataFrame): Seq[String] =
+    Seq("mention") ++ (if (df.columns.contains("vec")) Seq("vec") else Nil)
 
-  /** All (src>dst) pairs within each bucket via a bucket-key self-join,
-    * features carried through. `buckets` columns: bucket_key, mention_id,
-    * blocking_key, mention. When `dropOversized`, buckets larger than
-    * `maxBucketSize` are skipped wholesale (degenerate LSH bands). */
-  private def pairsInBuckets(buckets: DataFrame, maxBucketSize: Int,
-      dropOversized: Boolean = false): DataFrame = {
+  /** Self-join formulation: codegen'd but shuffles every bucket row twice. */
+  private def pairsInBucketsJoin(buckets: DataFrame, features: Seq[String],
+      maxBucketSize: Int, dropOversized: Boolean): DataFrame = {
     val bounded =
       if (!dropOversized) buckets
       else {
         val counts = buckets.groupBy("bucket_key").agg(count(lit(1)).as("bucket_n"))
         buckets.join(counts.filter(col("bucket_n") <= maxBucketSize), "bucket_key")
       }
-    val a = bounded.select(col("bucket_key"), col("mention_id").as("src"),
-      col("blocking_key").as("key_a"), col("mention").as("mention_a"))
-    val b = bounded.select(col("bucket_key"), col("mention_id").as("dst"),
-      col("blocking_key").as("key_b"), col("mention").as("mention_b"))
+    val aCols = col("bucket_key") +: (col("mention_id").as("src") +:
+      col("blocking_key").as("key_a") +: features.map(f => col(f).as(s"${f}_a")))
+    val bCols = col("bucket_key") +: (col("mention_id").as("dst") +:
+      col("blocking_key").as("key_b") +: features.map(f => col(f).as(s"${f}_b")))
+    val a = bounded.select(aCols: _*)
+    val b = bounded.select(bCols: _*)
     a.join(b, Seq("bucket_key"))
       .filter(col("src") > col("dst"))
-      .select(pairCols.map(col): _*)
+      .select((Seq("src", "dst", "key_a", "key_b") ++
+        features.flatMap(f => Seq(s"${f}_a", s"${f}_b"))).map(col): _*)
   }
 
-  /** Blocking-key pairs with (adaptively) salted buckets + representative
-    * lag-chain. Input columns: mention_id, blocking_key, mention. */
-  def blockingKeyPairs(mentions: DataFrame, cfg: Config): DataFrame = {
-    val keyedMentions = mentions.filter(col("blocking_key") =!= "")
+  /** All (src>dst) pairs within each bucket via ONE shuffle:
+    * `groupBy(bucket_key).collect_list` + index-pair explosion (the self-join
+    * formulation shuffled every bucket row twice). Bucket sizes are bounded
+    * (salting / oversize drop), so per-group lists stay small. `buckets`
+    * columns: bucket_key, mention_id, blocking_key, <features>. */
+  private def pairsInBucketsFused(buckets: DataFrame, features: Seq[String],
+      maxBucketSize: Int, dropOversized: Boolean): DataFrame = {
+    val member = struct((Seq("mention_id", "blocking_key") ++ features).map(col): _*)
+    val grouped0 = buckets.groupBy("bucket_key").agg(collect_list(member).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val grouped =
+      if (dropOversized) grouped0.filter(size(col("ms")) <= maxBucketSize) else grouped0
+    val ms = col("ms")
+    // i < j index pairs over the collected list (exactly C(n,2) structs)
+    val pairsCol = flatten(transform(sequence(lit(0), size(ms) - 2), i =>
+      transform(sequence(i + lit(1), size(ms) - 1), j =>
+        struct(element_at(ms, i + lit(1)).as("x"), element_at(ms, j + lit(1)).as("y")))))
+    // collect_list order is nondeterministic; orient every pair by mention_id
+    // so the emitted rows are parallelism-invariant
+    val swap = col("p.x.mention_id") < col("p.y.mention_id")
+    def aSide(f: String): Column = when(swap, col(s"p.y.$f")).otherwise(col(s"p.x.$f"))
+    def bSide(f: String): Column = when(swap, col(s"p.x.$f")).otherwise(col(s"p.y.$f"))
+    grouped.select(explode(pairsCol).as("p"))
+      .select((Seq(
+        aSide("mention_id").as("src"), bSide("mention_id").as("dst"),
+        aSide("blocking_key").as("key_a"), bSide("blocking_key").as("key_b")) ++
+        features.flatMap(f => Seq(aSide(f).as(s"${f}_a"), bSide(f).as(s"${f}_b")))): _*)
+      .filter(col("src") =!= col("dst"))
+  }
+
+  private def pairsInBuckets(buckets: DataFrame, features: Seq[String], cfg: Config,
+      dropOversized: Boolean): DataFrame =
+    if (cfg.fusedBuckets) pairsInBucketsFused(buckets, features, cfg.maxBucketSize, dropOversized)
+    else pairsInBucketsJoin(buckets, features, cfg.maxBucketSize, dropOversized)
+
+  /** Per-key annotation in a single exchange on blocking_key: key frequency
+    * (adaptive salt factor) and key representative rank (LSH rep = rn 1).
+    * The downstream per-(key,salt) rep aggregation and the chain window both
+    * reuse this partitioning — no further key-side exchange. */
+  private def annotate(mentions: DataFrame, cfg: Config): DataFrame = {
+    val keyed = mentions.filter(col("blocking_key") =!= "")
+    val wOrd = Window.partitionBy("blocking_key").orderBy("mention_id")
     val withSalt =
-      if (cfg.adaptiveSalt) {
-        val counts = keyedMentions.groupBy("blocking_key")
-          .agg(count(lit(1)).as("key_n"))
+      if (cfg.adaptiveSalt)
+        keyed.withColumn("key_n", count(lit(1)).over(Window.partitionBy("blocking_key")))
           .withColumn("salt_n",
             least(greatest(ceil(col("key_n") / cfg.targetBucketSize), lit(1)), lit(cfg.maxSaltFactor))
               .cast("int"))
-          .select("blocking_key", "salt_n")
-        keyedMentions.join(counts, "blocking_key")
-      } else keyedMentions.withColumn("salt_n", lit(cfg.saltBuckets))
-    val salted = withSalt
+      else keyed.withColumn("salt_n", lit(cfg.saltBuckets))
+    withSalt
+      .withColumn("rn", row_number().over(wOrd))
       .withColumn("salt", pmod(xxhash64(col("mention_id")), col("salt_n")))
       .withColumn("bucket_key", concat_ws("#", col("blocking_key"), col("salt")))
+  }
+
+  /** Salted intra-bucket pairs + representative lag-chain across the salt
+    * buckets of each key (salt-invariant transitivity). */
+  private def saltedPairs(annotated: DataFrame, features: Seq[String], cfg: Config): DataFrame = {
     val intra = pairsInBuckets(
-      salted.select("bucket_key", "mention_id", "blocking_key", "mention"), cfg.maxBucketSize)
-    // representative lag-chain across salt buckets (same key both sides)
-    val wChain = org.apache.spark.sql.expressions.Window
-      .partitionBy("blocking_key").orderBy("salt")
-    val reps = salted.groupBy("blocking_key", "salt")
-      .agg(min("mention_id").as("rep"), first("mention").as("rep_mention"))
-    val chain = reps
-      .withColumn("prev_rep", lag("rep", 1).over(wChain))
-      .withColumn("prev_mention", lag("rep_mention", 1).over(wChain))
-      .filter(col("prev_rep").isNotNull)
-      .select(
+      annotated.select((Seq("bucket_key", "mention_id", "blocking_key") ++ features).map(col): _*),
+      features, cfg, dropOversized = false)
+    intra.unionByName(chainPairs(annotated, features))
+  }
+
+  /** Representative lag-chain pairs across the salt buckets of each key. */
+  private def chainPairs(annotated: DataFrame, features: Seq[String]): DataFrame = {
+    val reps = annotated.groupBy("blocking_key", "salt")
+      .agg(min("mention_id").as("rep"),
+        features.map(f => min_by(col(f), col("mention_id")).as(s"rep_$f")): _*)
+    val wChain = Window.partitionBy("blocking_key").orderBy("salt")
+    val withPrev = features.foldLeft(
+      reps.withColumn("prev_rep", lag("rep", 1).over(wChain))) { (df, f) =>
+      df.withColumn(s"prev_$f", lag(s"rep_$f", 1).over(wChain))
+    }
+    val repIsA = col("rep") > col("prev_rep")
+    withPrev
+      .filter(col("prev_rep").isNotNull && col("rep") =!= col("prev_rep"))
+      .select((Seq(
         greatest(col("rep"), col("prev_rep")).as("src"),
         least(col("rep"), col("prev_rep")).as("dst"),
-        col("blocking_key").as("key_a"), col("blocking_key").as("key_b"),
-        when(col("rep") > col("prev_rep"), col("rep_mention")).otherwise(col("prev_mention")).as("mention_a"),
-        when(col("rep") > col("prev_rep"), col("prev_mention")).otherwise(col("rep_mention")).as("mention_b"))
-    intra.unionByName(chain)
+        col("blocking_key").as("key_a"), col("blocking_key").as("key_b")) ++
+        features.flatMap(f => Seq(
+          when(repIsA, col(s"rep_$f")).otherwise(col(s"prev_$f")).as(s"${f}_a"),
+          when(repIsA, col(s"prev_$f")).otherwise(col(s"rep_$f")).as(s"${f}_b")))): _*)
+  }
+
+  /** MinHash-LSH pairs over the per-key representatives (rn == 1). */
+  private def lshFromReps(annotated: DataFrame, features: Seq[String], cfg: Config): DataFrame = {
+    val banded = annotated
+      .filter(col("rn") === 1 && size(col("tokens")) > 0)
+      .select((Seq(col("mention_id"), col("blocking_key")) ++ features.map(col) :+
+        explode(minhashUdf(col("tokens"), lit(cfg.minhashFunctions), lit(cfg.lshBands))).as("band")): _*)
+      .withColumn("bucket_key", col("band").cast("string"))
+      .select((Seq("bucket_key", "mention_id", "blocking_key") ++ features).map(col): _*)
+    pairsInBuckets(banded, features, cfg, dropOversized = true)
+      // same key pair recurs across bands; rep set is small
+      .dropDuplicates("src", "dst")
+  }
+
+  /** Blocking-key pairs with (adaptively) salted buckets + representative
+    * lag-chain. Input columns: mention_id, blocking_key, mention [, vec]. */
+  def blockingKeyPairs(mentions: DataFrame, cfg: Config): DataFrame = {
+    val features = featureCols(mentions)
+    saltedPairs(annotate(mentions, cfg), features, cfg)
   }
 
   /** MinHash-LSH pairs over *distinct* canonical token sets (one
     * representative mention per blocking key).
-    * Input columns: mention_id, blocking_key, tokens, mention. */
+    * Input columns: mention_id, blocking_key, tokens, mention [, vec]. */
   def lshPairs(mentions: DataFrame, cfg: Config): DataFrame = {
-    val keyReps = mentions
-      .filter(size(col("tokens")) > 0)
-      .groupBy("blocking_key")
-      .agg(min("mention_id").as("mention_id"), first("tokens").as("tokens"),
-        first("mention").as("mention"))
-    val banded = keyReps
-      .select(col("mention_id"), col("blocking_key"), col("mention"),
-        explode(minhashUdf(col("tokens"), lit(cfg.minhashFunctions), lit(cfg.lshBands))).as("band"))
-      .withColumn("bucket_key", col("band").cast("string"))
-    pairsInBuckets(
-      banded.select("bucket_key", "mention_id", "blocking_key", "mention"),
-      cfg.maxBucketSize, dropOversized = true)
-      .distinct() // same key pair recurs across bands; rep set is small
+    val features = featureCols(mentions)
+    lshFromReps(annotate(mentions, cfg), features, cfg)
   }
 
-  /** Union of both generators, WITH scoring features on every pair.
-    * Columns: src, dst, key_a, key_b, mention_a, mention_b. */
-  def candidatePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame =
-    blockingKeyPairs(mentions, cfg).unionByName(lshPairs(mentions, cfg))
+  /** Union of both generators, WITH scoring features on every pair; the
+    * per-key annotation pass is shared so the mention table is exchanged on
+    * blocking_key exactly once. Columns: src, dst, key_a, key_b, mention_a,
+    * mention_b [, vec_a, vec_b]. */
+  def candidatePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+    val features = featureCols(mentions)
+    val annotated = annotate(mentions, cfg)
+    saltedPairs(annotated, features, cfg)
+      .unionByName(lshFromReps(annotated, features, cfg))
+  }
 
   /** Bare (src, dst) pair ids. */
   def candidatePairs(mentions: DataFrame, cfg: Config = Config()): DataFrame =
     candidatePairsWithFeatures(mentions, cfg).select("src", "dst")
+
+  /** Salted bucket-member table for kernel-fused scoring
+    * (`PairScorer.scoreBuckets`): one row per salted bucket with ≥ 2
+    * members, each member a struct of (mention_id, blocking_key,
+    * <features>). Pair enumeration happens inside the scoring kernel, so the
+    * quadratic pair stream is never materialized as a relational
+    * intermediate. */
+  def saltedBucketTable(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+    val features = featureCols(mentions)
+    val member = struct((Seq("mention_id", "blocking_key") ++ features).map(col): _*)
+    annotate(mentions, cfg)
+      .groupBy("blocking_key", "salt")
+      .agg(collect_list(member).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select("ms")
+  }
+
+  /** The sparse complement of the salted bucket table: representative
+    * lag-chain pairs + MinHash-LSH rep pairs (both O(distinct keys), not
+    * O(mentions)), with scoring features attached. */
+  def sparsePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+    val features = featureCols(mentions)
+    val annotated = annotate(mentions, cfg)
+    chainPairs(annotated, features)
+      .unionByName(lshFromReps(annotated, features, cfg))
+  }
 }

@@ -121,15 +121,85 @@ object Metrics {
       .limit(maxErrors)
 
   /** Per-source evaluation (A7/A8, `biencoder_linker.py:73-153`): one metrics
-    * row per value of `sourceCol`. */
+    * row per value of `sourceCol`, computed in a SINGLE pass over the data
+    * (two small aggregations on (source, class)) instead of one job per
+    * source. Collect size is bounded by |sources| × |classes|. */
   def evaluateBySource(preds: DataFrame, sourceCol: String = "source"): Map[String, ClassificationMetrics] = {
-    val sources = preds.select(sourceCol).distinct().collect().map(_.getString(0))
-    sources.map(s => s -> evaluate(preds.filter(col(sourceCol) === s))).toMap
+    val perTrue = preds.groupBy(col(sourceCol).as("src"), col("y_true").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("y_true") === col("y_pred"), 1L).otherwise(0L)).as("tp"))
+    val perPred = preds.groupBy(col(sourceCol).as("src"), col("y_pred").as("cls"))
+      .agg(count(lit(1)).as("predicted"))
+    val rows = perTrue.join(perPred, Seq("src", "cls"), "full_outer")
+      .na.fill(0L, Seq("support", "tp", "predicted"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (src, cells) =>
+      val n = cells.map(_.getAs[Long]("support")).sum
+      val correct = cells.map(_.getAs[Long]("tp")).sum
+      val micro = if (n > 0) correct.toDouble / n else 0.0
+      val f1s = cells.map { r =>
+        val tp = r.getAs[Long]("tp").toDouble
+        val fn = r.getAs[Long]("support").toDouble - tp
+        val fp = r.getAs[Long]("predicted").toDouble - tp
+        val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
+        val rr = if (tp + fn > 0) tp / (tp + fn) else 0.0
+        if (p + rr > 0) 2 * p * rr / (p + rr) else 0.0
+      }
+      val macroF1 = if (f1s.nonEmpty) f1s.sum / f1s.size else 0.0
+      src -> ClassificationMetrics(micro, micro, micro, macroF1, micro, n)
+    }
+  }
+
+  final case class RunStats(mean: Double, std: Double, n: Int)
+
+  /** n-run mean/std (A7, `prompt_linker.py:313-381` — `evaluate_llm_runs`
+    * aggregates micro-F1 across repeated stochastic runs; std is the
+    * population std, numpy's default). */
+  def runStats(values: Seq[Double]): RunStats = {
+    if (values.isEmpty) return RunStats(0.0, 0.0, 0)
+    val mean = values.sum / values.size
+    val varPop = values.map(v => (v - mean) * (v - mean)).sum / values.size
+    RunStats(mean, math.sqrt(varPop), values.size)
+  }
+
+  /** Evaluate each run's predictions, then summarize micro-F1 across runs. */
+  def evaluateRuns(runs: Seq[DataFrame]): (Seq[ClassificationMetrics], RunStats) = {
+    val per = runs.map(evaluate)
+    (per, runStats(per.map(_.micF1)))
   }
 
   /** Label-distribution EDA (A6, `data_exploration.py:8-101`). */
   def labelDistribution(preds: DataFrame, labelCol: String = "label"): DataFrame =
     preds.groupBy(labelCol).agg(count(lit(1)).as("n")).orderBy(desc("n"), col(labelCol))
+
+  /** Ontology-coverage EDA (A6, `data_exploration.py:8-56` —
+    * `calculate_ontology_coverage(_by_category)` + the distribution share of
+    * `generate_analysis_results` `:68-101`): per category, how many KB
+    * parameters appear in the data at all, and what share of the label mass
+    * the category carries. One row per category + a synthetic NIL row
+    * (`category_to_params["NIL"] = {"Q100"}`, `:38`). */
+  def ontologyCoverage(spark: SparkSession, labels: DataFrame,
+      entries: Seq[pkel.model.OntologyEntry], labelCol: String = "label"): DataFrame = {
+    import spark.implicits._
+    val catRows = entries.map(e => (e.parameterCategory, e.parameterId)) :+ ("NIL", "Q100")
+    val dim = catRows.toDF("category", "parameter_id")
+    val present = labels.select(col(labelCol).as("parameter_id"))
+      .filter(col("parameter_id").isNotNull)
+    val totalLabels = present.count()
+    val counts = present.groupBy("parameter_id").agg(count(lit(1)).as("n_labels"))
+    dim.join(counts, Seq("parameter_id"), "left")
+      .na.fill(0L, Seq("n_labels"))
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("total_params"),
+        sum(when(col("n_labels") > 0, 1L).otherwise(0L)).as("covered_params"),
+        sum(col("n_labels")).as("label_count"))
+      .withColumn("coverage_pct",
+        round(col("covered_params") * 100.0 / col("total_params"), 2))
+      .withColumn("distribution_pct",
+        round(col("label_count") * 100.0 / lit(math.max(1L, totalLabels)), 2))
+      .orderBy("category")
+  }
 
   /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349`):
     * one conditional-aggregate pass. Input columns: label, subset_matched,

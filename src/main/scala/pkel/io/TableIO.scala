@@ -1,7 +1,8 @@
 package pkel.io
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,17 +16,29 @@ import org.apache.spark.sql.functions._
   * fingerprint) exists; `readOrCompute` replays committed stages from disk
   * and recomputes the rest, so a killed run resumes idempotently. Swapping
   * the implementation to `iceberg-spark-runtime` is a write-path change only.
+  *
+  * Commit markers go through the Hadoop `FileSystem` resolved from the data
+  * path itself — on a cluster the marker lands on the same HDFS/S3/file
+  * scheme as the parquet it guards (driver-local `java.nio` would silently
+  * write markers to the driver's disk instead).
   */
 final class TableIO(spark: SparkSession, val root: String, val runId: String) {
 
   private def stageDir(stage: String) = s"$root/$stage"
-  private def commitMarker(stage: String) = Paths.get(s"$root/$stage/_COMMIT")
+  private def markerPath(stage: String) = new Path(s"$root/$stage/_COMMIT")
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def isCommitted(stage: String, fingerprint: String): Boolean = {
-    val m = commitMarker(stage)
-    Files.exists(m) && {
-      val content = new String(Files.readAllBytes(m), "UTF-8")
-      content.linesIterator.exists(_ == s"fingerprint=$fingerprint")
+    val m = markerPath(stage)
+    val f = fs(m)
+    f.exists(m) && {
+      val in = f.open(m)
+      try {
+        val content = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        content.linesIterator.exists(_ == s"fingerprint=$fingerprint")
+      } finally in.close()
     }
   }
 
@@ -39,9 +52,12 @@ final class TableIO(spark: SparkSession, val root: String, val runId: String) {
     val rows = out.count()
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeMetrics(stage, out, rows, wallMs)
-    Files.write(commitMarker(stage),
-      s"fingerprint=$fingerprint\nrows=$rows\nrun_id=$runId\nwall_ms=$wallMs\n".getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val m = markerPath(stage)
+    val os = fs(m).create(m, true) // overwrite: marker write is the atomic point
+    try os.write(
+      s"fingerprint=$fingerprint\nrows=$rows\nrun_id=$runId\nwall_ms=$wallMs\n"
+        .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
     out
   }
 

@@ -31,7 +31,11 @@ object Cascade {
       unconstrainedFallback: Boolean = true,
       /** Raw-surface fuzzy threshold (graft extension tier). */
       surfaceThreshold: Double = 90.0,
-      textWindow: Int = 5)
+      textWindow: Int = 5,
+      /** Optional tier 5: prompt/LLM linker over the bi-encoder's unlinked
+        * residue (reference wiring: `evaluate_prompt_linker.py`). None = the
+        * residue stays NIL, as in rounds without an external model. */
+      promptScorer: Option[PromptLinker.PromptScorer] = None)
 
   private val predCols = Seq("mention_id", "label", "blocking_key", "y_pred", "tier", "status", "score")
 
@@ -86,9 +90,24 @@ object Cascade {
       featureCol = "retrieval_feature", cfg.biencoderK, cfg.biencoderThreshold,
       cfg.categoryConstrained)
 
+    // tier 5 (optional): prompt/LLM linker over the bi-encoder's unlinked
+    // residue; the tier merge mirrors merge_llm_and_unmatched_results —
+    // linked bi-encoder rows pass through, the NIL residue is re-asked.
+    val tier4And5 = cfg.promptScorer match {
+      case Some(scorer) =>
+        val biencPersisted = bienc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val biencLinked = biencPersisted.filter(col("status") === "linked")
+        val residue4 = biencPersisted.filter(col("status") === "unlinked")
+          .drop("pred_ids", "pred_scores", "y_pred", "status", "tier", "score")
+        val prompted = PromptLinker.link(spark, residue4, entries, scorer)
+        biencLinked.select(predCols.map(col): _*)
+          .unionByName(prompted.select(predCols.map(col): _*))
+      case None => bienc.select(predCols.map(col): _*)
+    }
+
     exactEmitted.select(predCols.map(col): _*)
       .unionByName(fuzzyLinked.select(predCols.map(col): _*))
       .unionByName(surfaceLinked.select(predCols.map(col): _*))
-      .unionByName(bienc.select(predCols.map(col): _*))
+      .unionByName(tier4And5)
   }
 }

@@ -46,22 +46,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"index join must broadcast:\n${plan.take(2000)}")
   }
 
-  test("fused pair scoring: the kernel pipelines on the bucket join output") {
+  test("fused pair scoring: the kernel pipelines on the bucket aggregation output") {
     import spark.implicits._
     val keyed = (1L to 100L).map(i => (i, "cl", Seq("cl"), s"m$i"))
       .toDF("mention_id", "blocking_key", "tokens", "mention")
     val pairs = pkel.blocking.PairGen.blockingKeyPairs(keyed, pkel.blocking.PairGen.Config())
     val scored = pkel.scoring.PairScorer.scorePairs(pairs)
     val plan = scored.queryExecution.executedPlan.toString
-    // the scorer (SerializeFromObject/MapPartitions) must sit directly above
-    // the join subtree with no Exchange between them
+    // pairs are exploded out of the bucket collect_list aggregation and the
+    // scorer (MapPartitions) must consume them with no Exchange in between —
+    // pair rows never shuffle
     val lines = plan.linesIterator.toSeq
     val mapIdx = lines.indexWhere(_.contains("MapPartitions"))
-    val joinIdx = lines.indexWhere(_.contains("Join"))
-    assert(mapIdx >= 0 && joinIdx > mapIdx, s"unexpected plan shape:\n$plan")
-    val between = lines.slice(mapIdx, joinIdx)
+    val aggIdx = lines.indexWhere(_.contains("Aggregate"))
+    assert(mapIdx >= 0 && aggIdx > mapIdx, s"unexpected plan shape:\n$plan")
+    val between = lines.slice(mapIdx, aggIdx)
     assert(!between.exists(_.contains("Exchange")),
-      s"exchange between scorer and pair join:\n${between.mkString("\n")}")
+      s"exchange between scorer and pair explosion:\n${between.mkString("\n")}")
+    assert(!plan.contains("Join"), s"pair generation should not self-join:\n$plan")
+  }
+
+  test("bucket-kernel scoring path: one mention-scale exchange, no join, no pair shuffle") {
+    import spark.implicits._
+    val keyed = (1L to 500L).map(i => (i, if (i % 7 == 0) "auc inf" else "cl", Seq("cl"), s"m$i"))
+      .toDF("mention_id", "blocking_key", "tokens", "mention")
+    val buckets = pkel.blocking.PairGen.saltedBucketTable(keyed)
+    val scored = pkel.scoring.PairScorer.scoreBuckets(buckets)
+    val plan = scored.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // the window (blocking_key) and the bucket groupBy (blocking_key, salt)
+    // must share ONE exchange — groupBy keys are a superset of the window
+    // partitioning, so EnsureRequirements adds nothing
+    assert(exchanges == 1, s"expected exactly one mention-scale exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"bucket path must not join:\n$plan")
+    // nothing shuffles above the kernel: pairs are born scored
+    val lines = plan.linesIterator.toSeq
+    val mapIdx = lines.indexWhere(_.contains("MapPartitions"))
+    assert(mapIdx >= 0 && !lines.take(mapIdx).exists(_.contains("Exchange")),
+      s"exchange above the scoring kernel:\n$plan")
   }
 
   test("whole-stage codegen spans cover the relational battery") {
