@@ -137,12 +137,11 @@ object PairGen {
     else pairsInBucketsJoin(buckets, features, cfg.maxBucketSize, dropOversized)
 
   /** Per-key annotation in a single exchange on blocking_key: key frequency
-    * (adaptive salt factor) and key representative rank (LSH rep = rn 1).
-    * The downstream per-(key,salt) rep aggregation and the chain window both
-    * reuse this partitioning — no further key-side exchange. */
+    * (adaptive salt factor) via an unordered count window. The downstream
+    * per-(key,salt) rep aggregation and the chain window reuse this
+    * partitioning — no further key-side exchange. */
   private def annotate(mentions: DataFrame, cfg: Config): DataFrame = {
     val keyed = mentions.filter(col("blocking_key") =!= "")
-    val wOrd = Window.partitionBy("blocking_key").orderBy("mention_id")
     val withSalt =
       if (cfg.adaptiveSalt)
         keyed.withColumn("key_n", count(lit(1)).over(Window.partitionBy("blocking_key")))
@@ -151,7 +150,6 @@ object PairGen {
               .cast("int"))
       else keyed.withColumn("salt_n", lit(cfg.saltBuckets))
     withSalt
-      .withColumn("rn", row_number().over(wOrd))
       .withColumn("salt", pmod(xxhash64(col("mention_id")), col("salt_n")))
       .withColumn("bucket_key", concat_ws("#", col("blocking_key"), col("salt")))
   }
@@ -187,10 +185,17 @@ object PairGen {
           when(repIsA, col(s"prev_$f")).otherwise(col(s"rep_$f")).as(s"${f}_b")))): _*)
   }
 
-  /** MinHash-LSH pairs over the per-key representatives (rn == 1). */
-  private def lshFromReps(annotated: DataFrame, features: Seq[String], cfg: Config): DataFrame = {
-    val banded = annotated
-      .filter(col("rn") === 1 && size(col("tokens")) > 0)
+  /** MinHash-LSH pairs over per-key representatives (rep = min mention_id,
+    * computed by a map-side-combined aggregation — output is O(distinct
+    * keys), never O(mentions)). */
+  private def lshFromMentions(mentions: DataFrame, features: Seq[String], cfg: Config): DataFrame = {
+    val keyReps = mentions
+      .filter(col("blocking_key") =!= "" && size(col("tokens")) > 0)
+      .groupBy("blocking_key")
+      .agg(min("mention_id").as("mention_id"),
+        (min_by(col("tokens"), col("mention_id")).as("tokens") +:
+          features.map(f => min_by(col(f), col("mention_id")).as(f))): _*)
+    val banded = keyReps
       .select((Seq(col("mention_id"), col("blocking_key")) ++ features.map(col) :+
         explode(minhashUdf(col("tokens"), lit(cfg.minhashFunctions), lit(cfg.lshBands))).as("band")): _*)
       .withColumn("bucket_key", col("band").cast("string"))
@@ -210,9 +215,9 @@ object PairGen {
   /** MinHash-LSH pairs over *distinct* canonical token sets (one
     * representative mention per blocking key).
     * Input columns: mention_id, blocking_key, tokens, mention [, vec]. */
-  def lshPairs(mentions: DataFrame, cfg: Config): DataFrame = {
+  def lshPairs(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
-    lshFromReps(annotate(mentions, cfg), features, cfg)
+    lshFromMentions(mentions, features, cfg)
   }
 
   /** Union of both generators, WITH scoring features on every pair; the
@@ -221,9 +226,8 @@ object PairGen {
     * mention_b [, vec_a, vec_b]. */
   def candidatePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
-    val annotated = annotate(mentions, cfg)
-    saltedPairs(annotated, features, cfg)
-      .unionByName(lshFromReps(annotated, features, cfg))
+    saltedPairs(annotate(mentions, cfg), features, cfg)
+      .unionByName(lshFromMentions(mentions, features, cfg))
   }
 
   /** Bare (src, dst) pair ids. */
@@ -239,8 +243,13 @@ object PairGen {
   def saltedBucketTable(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
     val member = struct((Seq("mention_id", "blocking_key") ++ features).map(col): _*)
+    // group on the COMPOSITE bucket key string, not (blocking_key, salt):
+    // the latter would satisfy its distribution with the count window's
+    // by-key partitioning and keep every bucket of a hot key in one task —
+    // pair emission for that key would serialize. The deliberate second
+    // exchange redistributes buckets so the quadratic work is balanced.
     annotate(mentions, cfg)
-      .groupBy("blocking_key", "salt")
+      .groupBy("bucket_key")
       .agg(collect_list(member).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select("ms")
@@ -251,8 +260,7 @@ object PairGen {
     * O(mentions)), with scoring features attached. */
   def sparsePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
-    val annotated = annotate(mentions, cfg)
-    chainPairs(annotated, features)
-      .unionByName(lshFromReps(annotated, features, cfg))
+    chainPairs(annotate(mentions, cfg), features)
+      .unionByName(lshFromMentions(mentions, features, cfg))
   }
 }

@@ -115,14 +115,25 @@ object PairScorer {
 
   /** Kernel-fused scoring over a bucket-member table
     * (`PairGen.saltedBucketTable`): pair enumeration AND scoring run in one
-    * mapPartitions pass, so the quadratic pair stream is never a relational
-    * intermediate — no per-pair struct construction in the plan, no pair-row
-    * shuffle, and member payloads (strings, embedding vectors) are decoded
-    * once per member instead of once per pair. Pairs are oriented src > dst
-    * by sorting members on descending mention_id, making output rows
-    * independent of collect_list order (parallelism-invariant). */
+    * pass over the bucket rows, so the quadratic pair stream is never a
+    * relational intermediate (no pair-row shuffle, member payloads decoded
+    * once per member). Pairs are oriented src > dst by sorting members on
+    * descending mention_id, making output rows independent of collect_list
+    * order (parallelism-invariant).
+    *
+    * The lean path (default) runs at the InternalRow level and emits reused
+    * fixed-width UnsafeRows: zero per-pair allocation. The external-Row
+    * encoder path boxes ~6 values per pair, and at 10^9 pairs that
+    * allocation rate is what serializes wide fan-out (GC-bound at 4N
+    * threads). `carryFeatures` keeps the string-carrying Row path for
+    * debugging. */
   def scoreBuckets(buckets: DataFrame, w: Weights = Weights(),
-      embedder: Embedder = Embedder.default, carryFeatures: Boolean = false): DataFrame = {
+      embedder: Embedder = Embedder.default, carryFeatures: Boolean = false): DataFrame =
+    if (carryFeatures) scoreBucketsRows(buckets, w, embedder)
+    else scoreBucketsInternal(buckets, w, embedder)
+
+  /** Member layout shared by both bucket kernels. */
+  private def memberLayout(buckets: DataFrame): (Int, StructType, Int, Int, Int, Int) = {
     import org.apache.spark.sql.types.ArrayType
     val msIdx = buckets.schema.fieldIndex("ms")
     val memberSchema = buckets.schema(msIdx).dataType.asInstanceOf[ArrayType]
@@ -131,122 +142,132 @@ object PairScorer {
     val iKey = memberSchema.fieldIndex("blocking_key")
     val iMen = memberSchema.fieldIndex("mention")
     val iVec = if (memberSchema.fieldNames.contains("vec")) memberSchema.fieldIndex("vec") else -1
-    // lean output (ids + sims, fixed-width UnsafeRows) is the default: at
-    // ~10^9 pairs the per-pair string copies into UnsafeRows are a memory-
-    // bandwidth bottleneck that serializes wide fan-out; features rejoin via
-    // mention_id when needed
-    val encoder = org.apache.spark.sql.Encoders.row(if (carryFeatures) wideSchema else leanSchema)
-    val nOut = if (carryFeatures) 10 else 6
-    buckets.mapPartitions { rows =>
+    (msIdx, memberSchema, iId, iKey, iMen, iVec)
+  }
+
+  /** Zero-allocation-per-pair bucket kernel: InternalRow in, one reused
+    * UnsafeRow out. Salted buckets are single-key by construction, so
+    * key_sim and the combined score are the constant 1.0 (identical
+    * canonical keys are the reference's own equality predicate) and jw/cos
+    * depend only on the SURFACE pair: distinct surfaces are interned per
+    * bucket and a d x d sim matrix is scored once (with a cross-bucket
+    * memo); each emitted pair is index lookups + six fixed-width writes. */
+  private def scoreBucketsInternal(buckets: DataFrame, w: Weights,
+      embedder: Embedder): DataFrame = {
+    val (msIdx, memberSchema, iId, iKey, iMen, iVec) = memberLayout(buckets)
+    val nMemberFields = memberSchema.length
+    val spark = buckets.sparkSession
+    val rdd = buckets.queryExecution.toRdd.mapPartitions { iter =>
       val embMemo = new java.util.HashMap[String, Array[Float]](1024)
-      val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
       val surfPairMemo = new java.util.HashMap[String, Array[Double]](4096)
+      val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
       val memoCap = 200000
-      def embed(s: String): Array[Float] = {
-        var v = embMemo.get(s)
+      def embed(str: String): Array[Float] = {
+        var v = embMemo.get(str)
         if (v == null) {
-          v = embedder.encode(s)
-          if (embMemo.size < memoCap) embMemo.put(s, v)
+          v = embedder.encode(str)
+          if (embMemo.size < memoCap) embMemo.put(str, v)
         }
         v
       }
-      rows.flatMap { r =>
-        val ms = r.getSeq[Row](msIdx)
-        val n = ms.length
-        // decode once per member; sort desc by id so pair (i,j), i<j is (src,dst)
-        val sorted = ms.toArray.sortBy(m => -m.getLong(iId))
+      // one reused output row: 8-byte null bitset + 6 fixed-width fields.
+      // Downstream operators consume or copy each UnsafeRow before the next
+      // one is produced (standard codegen buffer-reuse contract).
+      val outBuf = new Array[Byte](8 + 6 * 8)
+      val out = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(6)
+      out.pointTo(outBuf, outBuf.length)
+
+      iter.flatMap { bucketRow =>
+        val arr = bucketRow.getArray(msIdx)
+        val n = arr.numElements()
         val ids = new Array[Long](n)
         val keys = new Array[String](n)
         val mens = new Array[String](n)
         val vecs = new Array[Array[Float]](n)
-        var sameKey = true
         var k = 0
         while (k < n) {
-          val m = sorted(k)
+          val m = arr.getStruct(k, nMemberFields)
           ids(k) = m.getLong(iId)
-          keys(k) = if (m.isNullAt(iKey)) "" else m.getString(iKey)
-          mens(k) = if (m.isNullAt(iMen)) "" else m.getString(iMen)
+          keys(k) = if (m.isNullAt(iKey)) "" else m.getUTF8String(iKey).toString
+          mens(k) = if (m.isNullAt(iMen)) "" else m.getUTF8String(iMen).toString
           vecs(k) =
-            if (iVec >= 0 && !m.isNullAt(iVec)) {
-              val sq = m.getSeq[Float](iVec)
-              val a = new Array[Float](sq.length)
-              var q = 0
-              while (q < a.length) { a(q) = sq(q); q += 1 }
-              a
-            } else null
-          if (k > 0 && keys(k) != keys(0)) sameKey = false
+            if (iVec >= 0 && !m.isNullAt(iVec)) m.getArray(iVec).toFloatArray
+            else null
           k += 1
         }
-        val base = new scala.collection.AbstractIterator[Row] {
-          private val vals = new Array[Any](nOut)
-          private val row = new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+        // sort member indices by descending id so pair (i,j), i<j is (src,dst)
+        val order = Array.range(0, n).sortBy(t => -ids(t))
+        var sameKey = true
+        k = 1
+        while (k < n) { if (keys(order(k)) != keys(order(0))) sameKey = false; k += 1 }
+        val singleKey = sameKey && n > 0 && keys(order(0)).nonEmpty
+
+        val surfOf = new Array[Int](n)
+        var jwM: Array[Array[Double]] = null
+        var cosM: Array[Array[Double]] = null
+        if (singleKey) {
+          val surfMap = new java.util.HashMap[String, Integer](16)
+          val surfs = new scala.collection.mutable.ArrayBuffer[String](8)
+          val surfVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]](8)
+          var t = 0
+          while (t < n) {
+            val mt = order(t)
+            var si = surfMap.get(mens(mt))
+            if (si == null) {
+              si = Integer.valueOf(surfs.length)
+              surfMap.put(mens(mt), si)
+              surfs += mens(mt)
+              surfVecs += (if (vecs(mt) != null) vecs(mt) else embed(mens(mt)))
+            }
+            surfOf(t) = si.intValue()
+            t += 1
+          }
+          val d = surfs.length
+          jwM = Array.ofDim[Double](d, d)
+          cosM = Array.ofDim[Double](d, d)
+          var x = 0
+          while (x < d) {
+            var y = x
+            while (y < d) {
+              val ck = surfs(x) + "\u0001" + surfs(y)
+              var v = surfPairMemo.get(ck)
+              if (v == null) {
+                v = Array(
+                  Similarity.jaroWinkler(surfs(x).toLowerCase, surfs(y).toLowerCase),
+                  Similarity.dot(surfVecs(x), surfVecs(y)))
+                if (surfPairMemo.size < memoCap) surfPairMemo.put(ck, v)
+              }
+              jwM(x)(y) = v(0); jwM(y)(x) = v(0)
+              cosM(x)(y) = v(1); cosM(y)(x) = v(1)
+              y += 1
+            }
+            x += 1
+          }
+        }
+
+        new scala.collection.AbstractIterator[org.apache.spark.sql.catalyst.InternalRow] {
           private var i = 0
           private var j = 1
-          // Salted buckets are single-key by construction: key_sim and the
-          // combined score are the constant 1.0 (identical canonical keys are
-          // the reference's own equality predicate), and jw/cos depend only
-          // on the SURFACE pair — so distinct surfaces are interned and a
-          // d x d sim matrix is scored once; each of the C(n,2) emitted pairs
-          // is then pure index lookups + a fixed-width row write. This is
-          // what keeps 10^9-pair fan-out memory-bandwidth-light.
-          private val singleKey = sameKey && n > 0 && keys(0).nonEmpty
-          private val surfOf = new Array[Int](n)
-          private var jwM: Array[Array[Double]] = null
-          private var cosM: Array[Array[Double]] = null
-          if (singleKey) {
-            val surfMap = new java.util.HashMap[String, Integer](16)
-            val surfs = new scala.collection.mutable.ArrayBuffer[String](8)
-            val surfVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]](8)
-            var t = 0
-            while (t < n) {
-              var si = surfMap.get(mens(t))
-              if (si == null) {
-                si = Integer.valueOf(surfs.length)
-                surfMap.put(mens(t), si)
-                surfs += mens(t)
-                surfVecs += (if (vecs(t) != null) vecs(t) else embed(mens(t)))
-              }
-              surfOf(t) = si.intValue()
-              t += 1
-            }
-            val d = surfs.length
-            jwM = Array.ofDim[Double](d, d)
-            cosM = Array.ofDim[Double](d, d)
-            var x = 0
-            while (x < d) {
-              var y = x
-              while (y < d) {
-                val ck = surfs(x) + "\u0001" + surfs(y)
-                var v = surfPairMemo.get(ck)
-                if (v == null) {
-                  v = Array(
-                    Similarity.jaroWinkler(surfs(x).toLowerCase, surfs(y).toLowerCase),
-                    Similarity.dot(surfVecs(x), surfVecs(y)))
-                  if (surfPairMemo.size < memoCap) surfPairMemo.put(ck, v)
-                }
-                jwM(x)(y) = v(0); jwM(y)(x) = v(0)
-                cosM(x)(y) = v(1); cosM(y)(x) = v(1)
-                y += 1
-              }
-              x += 1
+          private def skipSelfPairs(): Unit = {
+            while (i < n - 1 && j < n && ids(order(i)) == ids(order(j))) {
+              j += 1
+              if (j >= n) { i += 1; j = i + 1 }
             }
           }
+          skipSelfPairs()
           override def hasNext: Boolean = i < n - 1 && j < n
-          override def next(): Row = {
-            val ii = i; val jj = j
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            val ii = order(i); val jj = order(j)
+            val pi = i; val pj = j
             j += 1
             if (j >= n) { i += 1; j = i + 1 }
-            vals(0) = ids(ii); vals(1) = ids(jj)
-            var o = 2
-            if (carryFeatures) {
-              vals(2) = keys(ii); vals(3) = keys(jj); vals(4) = mens(ii); vals(5) = mens(jj)
-              o = 6
-            }
+            out.setLong(0, ids(ii))
+            out.setLong(1, ids(jj))
             if (singleKey) {
-              vals(o) = 1.0
-              vals(o + 1) = jwM(surfOf(ii))(surfOf(jj))
-              vals(o + 2) = cosM(surfOf(ii))(surfOf(jj))
-              vals(o + 3) = 1.0
+              out.setDouble(2, 1.0)
+              out.setDouble(3, jwM(surfOf(pi))(surfOf(pj)))
+              out.setDouble(4, cosM(surfOf(pi))(surfOf(pj)))
+              out.setDouble(5, 1.0)
             } else {
               val ck = keys(ii) + "\u0001" + keys(jj) + "\u0001" + mens(ii) + "\u0001" + mens(jj)
               var v = comboMemo.get(ck)
@@ -257,14 +278,244 @@ object PairScorer {
                 v = Array(keySim, jw, cos, combined)
                 if (comboMemo.size < memoCap) comboMemo.put(ck, v)
               }
-              vals(o) = v(0); vals(o + 1) = v(1); vals(o + 2) = v(2); vals(o + 3) = v(3)
+              out.setDouble(2, v(0))
+              out.setDouble(3, v(1))
+              out.setDouble(4, v(2))
+              out.setDouble(5, v(3))
             }
-            row
+            skipSelfPairs()
+            out
           }
         }
-        base.filter(r => r.getLong(0) != r.getLong(1))
+      }
+    }
+    org.apache.spark.sql.pkelbridge.Bridge.internalDf(spark, rdd, leanSchema)
+  }
+
+  /** External-Row bucket kernel variant that carries the feature strings
+    * (debug/inspection shape — boxes per pair, do not use at full scale). */
+  private def scoreBucketsRows(buckets: DataFrame, w: Weights,
+      embedder: Embedder): DataFrame = {
+    val (msIdx, memberSchema, iId, iKey, iMen, iVec) = memberLayout(buckets)
+    val encoder = org.apache.spark.sql.Encoders.row(wideSchema)
+    buckets.mapPartitions { rows =>
+      val embMemo = new java.util.HashMap[String, Array[Float]](1024)
+      val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
+      val memoCap = 200000
+      def embed(str: String): Array[Float] = {
+        var v = embMemo.get(str)
+        if (v == null) {
+          v = embedder.encode(str)
+          if (embMemo.size < memoCap) embMemo.put(str, v)
+        }
+        v
+      }
+      rows.flatMap { r =>
+        val ms = r.getSeq[Row](msIdx)
+        val sorted = ms.toArray.sortBy(m => -m.getLong(iId))
+        val n = sorted.length
+        val ids = sorted.map(_.getLong(iId))
+        val keys = sorted.map(m => if (m.isNullAt(iKey)) "" else m.getString(iKey))
+        val mens = sorted.map(m => if (m.isNullAt(iMen)) "" else m.getString(iMen))
+        val vecs: Array[Array[Float]] = sorted.map { m =>
+          if (iVec >= 0 && !m.isNullAt(iVec)) m.getSeq[Float](iVec).toArray else null
+        }
+        (0 until n).iterator.flatMap { i =>
+          (i + 1 until n).iterator.filter(j => ids(i) != ids(j)).map { j =>
+            val ck = keys(i) + "\u0001" + keys(j) + "\u0001" + mens(i) + "\u0001" + mens(j)
+            var v = comboMemo.get(ck)
+            if (v == null) {
+              val (keySim, jw, cos, combined) = score(keys(i), keys(j), mens(i), mens(j),
+                if (vecs(i) != null) vecs(i) else embed(mens(i)),
+                if (vecs(j) != null) vecs(j) else embed(mens(j)), w)
+              v = Array(keySim, jw, cos, combined)
+              if (comboMemo.size < memoCap) comboMemo.put(ck, v)
+            }
+            Row(ids(i), ids(j), keys(i), keys(j), mens(i), mens(j), v(0), v(1), v(2), v(3))
+          }
+        }
       }
     }(encoder)
+  }
+
+  /** ONE-exchange salted pair kernel: hash-repartition the keyed mentions by
+    * blocking_key (plain exchange — no sort, no aggregation buffers), then a
+    * per-partition pass groups rows by key, assigns adaptive salt buckets,
+    * and emits the intra-bucket pairs AND the cross-bucket representative
+    * chain directly as reused fixed-width UnsafeRows. Compared to the
+    * window + collect_list formulation this removes the per-key sort and the
+    * aggregation shuffle — the kernel sees each mention exactly once.
+    * Salt assignment replicates the relational path bit-for-bit
+    * (pmod(xxhash64(mention_id), ceil(n/target) capped)), so the emitted
+    * pair set is identical (parity-tested). Skew note: a partition holds all
+    * rows of its keys — the same residency the window formulation already
+    * required; per-bucket pair cost stays O(n·target) via the salt split. */
+  def scoreMentions(mentions: DataFrame,
+      cfg: pkel.blocking.PairGen.Config = pkel.blocking.PairGen.Config(),
+      w: Weights = Weights(), embedder: Embedder = Embedder.default): DataFrame = {
+    val keyed = mentions.filter(org.apache.spark.sql.functions.col("blocking_key") =!= "")
+    val parts = keyed.repartition(org.apache.spark.sql.functions.col("blocking_key"))
+    val schema = parts.schema
+    val iId = schema.fieldIndex("mention_id")
+    val iKey = schema.fieldIndex("blocking_key")
+    val iMen = schema.fieldIndex("mention")
+    val iVec = if (schema.fieldNames.contains("vec")) schema.fieldIndex("vec") else -1
+    val adaptive = cfg.adaptiveSalt
+    val target = cfg.targetBucketSize
+    val maxSalt = cfg.maxSaltFactor
+    val fixedSalt = cfg.saltBuckets
+    val spark = parts.sparkSession
+    val rdd = parts.queryExecution.toRdd.mapPartitions { iter =>
+      final class Member(val id: Long, val men: String, val vec: Array[Float])
+      val groups = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Member]]()
+      while (iter.hasNext) {
+        val r = iter.next()
+        if (!r.isNullAt(iKey) && !r.isNullAt(iId)) {
+          val key = r.getUTF8String(iKey).toString
+          val men = if (r.isNullAt(iMen)) "" else r.getUTF8String(iMen).toString
+          val vec = if (iVec >= 0 && !r.isNullAt(iVec)) r.getArray(iVec).toFloatArray else null
+          var g = groups.get(key)
+          if (g == null) {
+            g = new scala.collection.mutable.ArrayBuffer[Member](4)
+            groups.put(key, g)
+          }
+          g += new Member(r.getLong(iId), men, vec)
+        }
+      }
+      val embMemo = new java.util.HashMap[String, Array[Float]](1024)
+      val surfPairMemo = new java.util.HashMap[String, Array[Double]](4096)
+      val memoCap = 200000
+      def embed(str: String): Array[Float] = {
+        var v = embMemo.get(str)
+        if (v == null) {
+          v = embedder.encode(str)
+          if (embMemo.size < memoCap) embMemo.put(str, v)
+        }
+        v
+      }
+      val outBuf = new Array[Byte](8 + 6 * 8)
+      val out = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(6)
+      out.pointTo(outBuf, outBuf.length)
+      def emit(srcId: Long, dstId: Long, jw: Double, cos: Double): org.apache.spark.sql.catalyst.InternalRow = {
+        out.setLong(0, srcId)
+        out.setLong(1, dstId)
+        out.setDouble(2, 1.0) // identical canonical keys: key_sim = 1
+        out.setDouble(3, jw)
+        out.setDouble(4, cos)
+        out.setDouble(5, 1.0) // identical canonical keys: combined = 1
+        out
+      }
+
+      import scala.jdk.CollectionConverters._
+      groups.entrySet().iterator().asScala.flatMap { e =>
+        val members = e.getValue
+        val n = members.length
+        if (n < 1) Iterator.empty
+        else {
+          // intern surfaces, score the distinct-surface matrix once per key
+          val surfMap = new java.util.HashMap[String, Integer](16)
+          val surfs = new scala.collection.mutable.ArrayBuffer[String](8)
+          val surfVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]](8)
+          val surfOf = new Array[Int](n)
+          var t = 0
+          while (t < n) {
+            val m = members(t)
+            var si = surfMap.get(m.men)
+            if (si == null) {
+              si = Integer.valueOf(surfs.length)
+              surfMap.put(m.men, si)
+              surfs += m.men
+              surfVecs += (if (m.vec != null) m.vec else embed(m.men))
+            }
+            surfOf(t) = si.intValue()
+            t += 1
+          }
+          val d = surfs.length
+          val jwM = Array.ofDim[Double](d, d)
+          val cosM = Array.ofDim[Double](d, d)
+          var x = 0
+          while (x < d) {
+            var y = x
+            while (y < d) {
+              val ck = surfs(x) + "\u0001" + surfs(y)
+              var v = surfPairMemo.get(ck)
+              if (v == null) {
+                v = Array(
+                  Similarity.jaroWinkler(surfs(x).toLowerCase, surfs(y).toLowerCase),
+                  Similarity.dot(surfVecs(x), surfVecs(y)))
+                if (surfPairMemo.size < memoCap) surfPairMemo.put(ck, v)
+              }
+              jwM(x)(y) = v(0); jwM(y)(x) = v(0)
+              cosM(x)(y) = v(1); cosM(y)(x) = v(1)
+              y += 1
+            }
+            x += 1
+          }
+          // salt assignment — bit-identical to pmod(xxhash64(mention_id), salt_n)
+          val saltN =
+            if (adaptive) math.min(math.max(math.ceil(n.toDouble / target).toInt, 1), maxSalt)
+            else fixedSalt
+          val bySalt = new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+          t = 0
+          while (t < n) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(members(t).id, 42L)
+            val salt = ((h % saltN) + saltN) % saltN
+            var b = bySalt.get(salt)
+            if (b == null) {
+              b = new scala.collection.mutable.ArrayBuffer[Int](target)
+              bySalt.put(salt, b)
+            }
+            b += t
+            t += 1
+          }
+          // per bucket: sort desc by id, emit i<j pairs via matrix lookups;
+          // track per-bucket rep (min id) for the salt-ascending chain
+          val buckets = bySalt.values().iterator().asScala.toArray
+          var prevRep = -1
+          val intra = buckets.iterator.flatMap { b =>
+            val idx = b.toArray.sortBy(q => -members(q).id)
+            val m2 = idx.length
+            new scala.collection.AbstractIterator[org.apache.spark.sql.catalyst.InternalRow] {
+              private var i = 0
+              private var j = 1
+              private def skipSelf(): Unit = {
+                while (i < m2 - 1 && j < m2 && members(idx(i)).id == members(idx(j)).id) {
+                  j += 1
+                  if (j >= m2) { i += 1; j = i + 1 }
+                }
+              }
+              skipSelf()
+              override def hasNext: Boolean = i < m2 - 1 && j < m2
+              override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+                val a = idx(i); val c = idx(j)
+                j += 1
+                if (j >= m2) { i += 1; j = i + 1 }
+                skipSelf()
+                emit(members(a).id, members(c).id, jwM(surfOf(a))(surfOf(c)), cosM(surfOf(a))(surfOf(c)))
+              }
+            }
+          }
+          val chain = buckets.iterator.flatMap { b =>
+            var rep = b(0)
+            var q = 1
+            while (q < b.length) { if (members(b(q)).id < members(rep).id) rep = b(q); q += 1 }
+            val prev = prevRep
+            prevRep = rep
+            if (prev < 0 || members(rep).id == members(prev).id) Iterator.empty
+            else {
+              val (aI, bI) =
+                if (members(rep).id > members(prev).id) (rep, prev) else (prev, rep)
+              Iterator.single(emit(members(aI).id, members(bI).id,
+                jwM(surfOf(aI))(surfOf(bI)), cosM(surfOf(aI))(surfOf(bI))))
+            }
+          }
+          // chain rows interleave with intra rows bucket-by-bucket so prevRep
+          // is updated in salt order; concat keeps both lazy
+          intra ++ chain
+        }
+      }
+    }
+    org.apache.spark.sql.pkelbridge.Bridge.internalDf(spark, rdd, leanSchema)
   }
 
   /** Full fused candidate scoring: salted buckets through the bucket kernel,
@@ -274,14 +525,22 @@ object PairScorer {
   def scoreCandidates(mentions: DataFrame,
       cfg: pkel.blocking.PairGen.Config = pkel.blocking.PairGen.Config(),
       w: Weights = Weights(), embedder: Embedder = Embedder.default,
-      carryFeatures: Boolean = false): DataFrame = {
-    val bucketScored = scoreBuckets(
-      pkel.blocking.PairGen.saltedBucketTable(mentions, cfg), w, embedder, carryFeatures)
-    val sparseScored = scorePairs(
-      pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder)
-    val sparseAligned =
-      if (carryFeatures) sparseScored
-      else sparseScored.select("src", "dst", "key_sim", "jw_sim", "cos_sim", "score")
-    bucketScored.unionByName(sparseAligned)
-  }
+      carryFeatures: Boolean = false): DataFrame =
+    if (carryFeatures) {
+      // debug shape: bucket-table kernel with feature strings + relational sparse
+      scoreBuckets(pkel.blocking.PairGen.saltedBucketTable(mentions, cfg),
+        w, embedder, carryFeatures = true)
+        .unionByName(scorePairs(
+          pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder))
+    } else {
+      // scale shape: bucket-balanced zero-alloc kernel over the salted bucket
+      // table (hot keys spread across tasks) + relational chain/LSH sparse
+      // pairs. `scoreMentions` (one-exchange, by-key partitioning) exists as
+      // an alternative for low-parallelism / low-skew runs.
+      val sparse = scorePairs(
+        pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder)
+        .select("src", "dst", "key_sim", "jw_sim", "cos_sim", "score")
+      scoreBucketsInternal(pkel.blocking.PairGen.saltedBucketTable(mentions, cfg), w, embedder)
+        .unionByName(sparse)
+    }
 }

@@ -71,19 +71,23 @@ class PlanAuditSpec extends SparkSpec {
     val keyed = (1L to 500L).map(i => (i, if (i % 7 == 0) "auc inf" else "cl", Seq("cl"), s"m$i"))
       .toDF("mention_id", "blocking_key", "tokens", "mention")
     val buckets = pkel.blocking.PairGen.saltedBucketTable(keyed)
+    val bucketPlan = buckets.queryExecution.executedPlan.toString
+    val exchanges = bucketPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // exactly TWO exchanges by design: the key-stats window partitions by
+    // blocking_key, then the bucket groupBy REDISTRIBUTES on the composite
+    // bucket key so a hot key's quadratic pair emission spreads across tasks
+    // (grouping on (blocking_key, salt) would reuse the window partitioning
+    // and serialize the hot key in one straggler)
+    assert(exchanges == 2, s"expected two exchanges (key window + bucket rebalance), got $exchanges:\n$bucketPlan")
+    assert(bucketPlan.contains("bucket_key"), s"bucket rebalance missing:\n$bucketPlan")
+    assert(!bucketPlan.contains("Join"), s"bucket path must not join:\n$bucketPlan")
+    // the kernel runs below the RDD boundary and emits scored pairs directly:
+    // the relational plan above it is a bare RDD scan — by construction
+    // nothing can shuffle the pair stream
     val scored = pkel.scoring.PairScorer.scoreBuckets(buckets)
-    val plan = scored.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // the window (blocking_key) and the bucket groupBy (blocking_key, salt)
-    // must share ONE exchange — groupBy keys are a superset of the window
-    // partitioning, so EnsureRequirements adds nothing
-    assert(exchanges == 1, s"expected exactly one mention-scale exchange, got $exchanges:\n$plan")
-    assert(!plan.contains("Join"), s"bucket path must not join:\n$plan")
-    // nothing shuffles above the kernel: pairs are born scored
-    val lines = plan.linesIterator.toSeq
-    val mapIdx = lines.indexWhere(_.contains("MapPartitions"))
-    assert(mapIdx >= 0 && !lines.take(mapIdx).exists(_.contains("Exchange")),
-      s"exchange above the scoring kernel:\n$plan")
+    val scoredPlan = scored.queryExecution.executedPlan.toString
+    assert(scoredPlan.contains("Scan ExistingRDD"), s"unexpected plan:\n$scoredPlan")
+    assert(!scoredPlan.contains("Exchange"), s"pair stream must not shuffle:\n$scoredPlan")
   }
 
   test("whole-stage codegen spans cover the relational battery") {

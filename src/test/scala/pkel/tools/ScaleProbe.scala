@@ -25,6 +25,8 @@ object ScaleProbe {
         pkel.blocking.PairGen.Config(fusedBuckets = fused))
       val stage = args.lift(5).getOrElse("scored")
       val n = stage match {
+        case "buckets" => pkel.blocking.PairGen.saltedBucketTable(keyed,
+          pkel.blocking.PairGen.Config(fusedBuckets = fused)).count()
         case "pairs" => pairs.count()
         case "kernel" => pkel.scoring.PairScorer.scoreCandidates(keyed,
           pkel.blocking.PairGen.Config(fusedBuckets = fused)).count()
