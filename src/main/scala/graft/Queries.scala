@@ -286,8 +286,11 @@ object Queries {
       .orderBy("label")
 
   /** ANN scale path: random-hyperplane LSH bucketing + within-bucket
-    * brute-force top-1 neighbor. Rows-only check (bucketing not in SQL). */
-  def embedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    * brute-force top-1 neighbor. Oversized buckets (degenerate hyperplane
+    * regions) are dropped wholesale before the self-join — without the cap a
+    * dense region fans out quadratically at scale, same guard as the MinHash
+    * path. Rows-only check (bucketing not in SQL). */
+  def embedAnnLsh(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
     val planes = 12
     val sig = udf((v: Seq[Float]) => {
       var out = 0
@@ -305,7 +308,10 @@ object Queries {
       }
       out
     })
-    val e = t(spark, dir, "embeddings").withColumn("bucket", sig(col("embedding")))
+    val e0 = t(spark, dir, "embeddings").withColumn("bucket", sig(col("embedding")))
+    val small = e0.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).select("bucket")
+    val e = e0.join(small, "bucket")
     val a = e.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val b = e.select(col("bucket"), col("vec_id"), col("embedding"))
     val cosExpr = expr(
@@ -403,6 +409,38 @@ object Queries {
     pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
       .groupBy("tier", "status").agg(count(lit(1)).as("n"))
       .orderBy("tier", "status")
+  }
+
+  /** Tier-5 prompt linker over the cascade residue with the deterministic
+    * offline SubstringScorer — tier/status distribution incl. the prompt
+    * tier's three grounding outcomes. Rows-only. */
+  def elPromptTier(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    // the default cascade links everything in this corpus (the typo-tolerant
+    // surface tier + unconstrained bi-encoder mop up the residue), so the
+    // prompt tier would sit idle; tighten the upstream thresholds so real
+    // residue flows to tier 5 and all three grounding outcomes are exercised
+    val cfg = pkel.link.Cascade.Config(
+      fuzzyThreshold = 95.0,
+      surfaceThreshold = 101.0, // > 100: surface tier passes everything through
+      biencoderThreshold = 1.01, // > cos max: bi-encoder always NIL-falls-back
+      promptScorer = Some(new pkel.link.PromptLinker.SubstringScorer(entries)))
+    pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries, cfg)
+      .groupBy("tier", "status").agg(count(lit(1)).as("n"))
+      .orderBy("tier", "status")
+  }
+
+  /** Contrastive training pairs (positives + same-category hard negatives +
+    * random negatives) over cascade-linked mentions, label distribution per
+    * pair polarity. Rows-only (seeded hash sampling not in SQL). */
+  def elContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    val linked = pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
+      .select(col("mention_id"), col("blocking_key").as("mention"), col("y_pred").as("label"))
+    pkel.train.ContrastivePairs.generate(spark, linked, entries)
+      .groupBy("label").agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("mention_id")).as("n_mentions"))
+      .orderBy("label")
   }
 
   /** End-to-end clustering: cluster size distribution. */

@@ -38,13 +38,15 @@ object SparkEntry {
     // similarity search over embeddings
     "q_embed_cosine_topk" -> ((s: SparkSession, d: String) => Queries.embedCosineTopK(s, d)),
     "q_embed_label_stats" -> (Queries.embedLabelStats _),
-    "q_embed_ann_lsh" -> (Queries.embedAnnLsh _),
+    "q_embed_ann_lsh" -> ((s: SparkSession, d: String) => Queries.embedAnnLsh(s, d)),
     // multimodal plumbing
     "q_mm_meta" -> (Queries.mmMeta _),
     "q_mm_decode_stub" -> (Queries.mmDecodeStub _),
     // entity-linking pipeline (deterministic synthetic transcripts)
     "q_el_exact" -> (Queries.elExact _),
     "q_el_cascade" -> (Queries.elCascade _),
+    "q_el_prompt_tier" -> (Queries.elPromptTier _),
+    "q_el_contrastive" -> (Queries.elContrastivePairs _),
     "q_el_clusters" -> (Queries.elClusters _))
 
   def oracleSql: Map[String, String] = Map(

@@ -53,23 +53,39 @@ object ConnectedComponents {
 
   /** Run to fixpoint; returns (node, root) for every node appearing in an
     * edge. Singleton nodes (no edges) are their own root — callers union
-    * them in. */
-  def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50): DataFrame = {
-    var edges = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    * them in.
+    *
+    * Lineage is truncated every iteration. By default with `localCheckpoint`
+    * (executor-memory-resident — fast, but an executor loss mid-job forces a
+    * full recompute); pass `checkpointDir` for RELIABLE checkpoints — every
+    * `reliableEvery`-th iteration the edge set is written to parquet and
+    * re-read, so on a long cluster run the job resumes from durable state
+    * instead of dying with a lost executor. Intermediate iterations still
+    * use localCheckpoint (cheap) between durable ones. */
+  def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
+      checkpointDir: Option[String] = None, reliableEvery: Int = 3): DataFrame = {
+    def materialize(df: DataFrame, it: Int): DataFrame = checkpointDir match {
+      case Some(dir) if it % reliableEvery == 0 =>
+        val p = s"$dir/cc_iter_$it"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case _ => df.localCheckpoint(true)
+    }
+    var edges = materialize(
+      edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+        .distinct(), 0)
     var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      it += 1
+      val next = materialize(smallStar(largeStar(edges)), it)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
       sig = nextSig
-      it += 1
     }
     // at fixpoint every edge is (node, root)
     val roots = edges.select(col("src").as("node"), col("dst").as("root"))

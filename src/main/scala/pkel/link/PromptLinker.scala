@@ -141,4 +141,24 @@ object PromptLinker {
   /** Entry-order-preserving lookup helper for tests. */
   def entryFor(entries: Seq[OntologyEntry], id: String): Option[OntologyEntry] =
     entries.find(_.parameterId == id)
+
+  /** Deterministic offline stand-in model: answers with the name of the
+    * first ontology entry whose name or synonym occurs (case-insensitive)
+    * in the prompt's mention line, else NIL. Exercises both grounding
+    * outcomes end-to-end with zero external calls — the shape a real model
+    * plugs into. */
+  final class SubstringScorer(entries: Seq[OntologyEntry]) extends PromptScorer {
+    private val surfaces: Seq[(String, String)] = entries.flatMap { e =>
+      (e.parameterName +: e.parameterSynonyms.filter(_.nonEmpty))
+        .map(s => (s.toLowerCase, e.parameterName))
+    }
+    def complete(systemPrompt: String, userPrompt: String): String = {
+      val mention = {
+        val m = "(?s)Mention:\\n(.*?)\\n---".r.findFirstMatchIn(userPrompt)
+        m.map(_.group(1).toLowerCase).getOrElse("")
+      }
+      surfaces.collectFirst { case (s, name) if mention.contains(s) => s"{param: $name}" }
+        .getOrElse("{param: NIL}")
+    }
+  }
 }

@@ -38,6 +38,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got(200L) == 200L && got(201L) == 200L)
   }
 
+  test("reliable parquet checkpoints produce the identical fixpoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    val durable = ConnectedComponents.run(spark, edges.toDF("src", "dst"),
+      checkpointDir = Some(dir), reliableEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == runCc(edges))
+    // durable state actually landed on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cc_iter_")))
+  }
+
   test("random graphs match union-find oracle") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
