@@ -99,6 +99,30 @@ object Queries {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .limit(20)
 
+  /** Set operations: big-spender ∪ urgent-order keys minus low-priority —
+    * UNION/INTERSECT/EXCEPT distinct semantics (T4). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 200000).select("o_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val low = o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+    big.union(urgent).distinct()
+      .except(low.distinct())
+      .orderBy("o_custkey")
+  }
+
+  /** Hierarchical aggregation via ROLLUP (multi-level agg in one pass). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dec(sum(dec(col("o_totalprice")))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
   /** Event-time bucketing (streaming-windowed-agg analog in batch). */
   def eventHourly(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -374,6 +398,34 @@ object Queries {
       }
     }(enc)
       .orderBy("doc_id")
+  }
+
+  /** Structured-Streaming exposure: exact dedup as an incremental job —
+    * file stream over the documents table → streaming dropDuplicates on the
+    * content hash → AvailableNow micro-batches into a memory sink. The
+    * result equals the batch dedup's canonical groups (driver rows-only; the
+    * streaming path itself is pinned stream==batch in StreamingSpec). */
+  def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val deduped = streamIn
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .select("content_hash", "doc_id")
+    val name = s"stream_dedup_${math.abs(dir.hashCode)}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+      .groupBy("content_hash").agg(min("doc_id").as("first_seen_doc"))
+      .orderBy("first_seen_doc")
   }
 
   // ---- entity-linking pipeline exposure (rows-only; deterministic) -------

@@ -25,6 +25,8 @@ object SparkEntry {
     "q_semi_join" -> (Queries.semiJoin _),
     "q_conv_window" -> (Queries.convWindow _),
     "q_limit_sort" -> (Queries.limitSort _),
+    "q_set_ops" -> (Queries.setOps _),
+    "q_rollup" -> (Queries.rollupAgg _),
     "q_event_hourly" -> (Queries.eventHourly _),
     // text analysis / dedup over documents
     "q_doc_token_stats" -> (Queries.docTokenStats _),
@@ -35,6 +37,7 @@ object SparkEntry {
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
     "q_doc_simhash" -> (Queries.docSimhash _),
+    "q_stream_dedup" -> (Queries.streamDedupExact _),
     // similarity search over embeddings
     "q_embed_cosine_topk" -> ((s: SparkSession, d: String) => Queries.embedCosineTopK(s, d)),
     "q_embed_label_stats" -> (Queries.embedLabelStats _),
@@ -92,6 +95,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 20""".stripMargin,
+    "q_set_ops" ->
+      """SELECT o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        | UNION
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_event_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

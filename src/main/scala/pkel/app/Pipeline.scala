@@ -147,9 +147,12 @@ object Pipeline {
       } else scored.filter(col("score") >= cfg.edgeThreshold).select("src", "dst")
     }
 
-    // stage 7: connected components (large-star / small-star)
+    // stage 7: connected components (large-star / small-star); iteration
+    // state checkpoints durably under the run's own root so an executor loss
+    // mid-fixpoint resumes from parquet, not from a full recompute
     val components = io.readOrCompute("components", fp(cfg, "c")) {
-      ConnectedComponents.run(spark, edges)
+      ConnectedComponents.run(spark, edges,
+        checkpointDir = Some(s"${io.root}/_cc_checkpoints"))
     }
 
     // stage 8: cluster assignment (singletons = own cluster). Mentions the

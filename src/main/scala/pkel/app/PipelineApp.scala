@@ -56,7 +56,10 @@ object PipelineApp {
     }
 
     val io = new TableIO(spark, out, s"run-${java.util.UUID.randomUUID().toString.take(8)}")
-    val (clusters, summary) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io, gold)
+    val cfg = Pipeline.Config(
+      precomputeVecs = opts.get("precompute-vecs").exists(_.toBoolean),
+      edgeThreshold = opts.getOrElse("edge-threshold", "0.90").toDouble)
+    val (clusters, summary) = Pipeline.run(spark, transcripts, entries, cfg, io, gold)
 
     println(s"clusters written under $out/clusters; metrics under $out/_metrics")
     println(
