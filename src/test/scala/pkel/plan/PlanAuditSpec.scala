@@ -90,6 +90,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scoredPlan.contains("Exchange"), s"pair stream must not shuffle:\n$scoredPlan")
   }
 
+  test("set-op and rollup filters reach the parquet scan") {
+    val p1 = planOf(graft.Queries.setOps(spark, sfDir))
+    assert(p1.contains("PushedFilters:") &&
+      (p1.contains("GreaterThan(o_totalprice") || p1.contains("EqualTo(o_orderpriority")),
+      s"set-op filters not pushed:\n${p1.take(2000)}")
+    val p2 = planOf(graft.Queries.rollupAgg(spark, sfDir))
+    assert(p2.contains("Expand"), s"rollup should use Expand:\n${p2.take(1500)}")
+    assert(!p2.contains("o_comment"), "rollup scan must prune unused columns")
+  }
+
   test("whole-stage codegen spans cover the relational battery") {
     // AQE finalizes the plan only on execution — run the query first
     val df = graft.Queries.aggPushdown(spark, sfDir)
