@@ -352,6 +352,69 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer (seed centroids
+    * = first k vectors, 2 Lloyd refinement sweeps in DataFrame aggregations)
+    * partitions the corpus into cells; queries probe only their `nprobe`
+    * nearest cells. At 100 TB this is the classic two-level layout: the
+    * centroid table broadcasts, the corpus scan prunes to probed cells.
+    * Rows-only (iterative quantizer not in SQL). */
+  def embedIvfTopK(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 2,
+      topK: Int = 3): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length && i < b.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    // coarse quantizer, driver-side refinement over broadcast-size state
+    var centroids: Array[Array[Float]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](e.schema.fieldIndex("embedding")).toArray)
+    (1 to 2).foreach { _ =>
+      val cb = centroids
+      val assign = udf((v: Seq[Float]) => {
+        val a = v.toArray
+        var best = 0; var bestS = Double.MinValue
+        var c = 0
+        while (c < cb.length) { val s = dot(a, cb(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
+        best
+      })
+      // element-wise centroid means via posexplode + groupBy — k×dim output
+      // rows regardless of corpus size (never collects vectors per cell)
+      val means = e.withColumn("cell", assign(col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    val cb = centroids
+    val cellsOf = udf((v: Seq[Float], m: Int) => {
+      val a = v.toArray
+      cb.indices.map(c => (c, dot(a, cb(c)))).sortBy { case (c, s) => (-s, c) }
+        .take(m).map(_._1)
+    })
+    val corpus = e.withColumn("cell", element_at(cellsOf(col("embedding"), lit(1)), 1))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(cellsOf(col("embedding"), lit(nprobe))).as("cell"))
+    val cosExpr = expr(
+      "aggregate(zip_with(qvec, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    queries.join(corpus, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(cosExpr, 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("query_id", "vec_id", "cos_sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---- multimodal plumbing (binary payload + stubbed decode) -------------
 
   /** Metadata over opaque binary payloads (text bytes stand in for media;

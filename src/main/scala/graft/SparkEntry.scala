@@ -42,6 +42,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> ((s: SparkSession, d: String) => Queries.embedCosineTopK(s, d)),
     "q_embed_label_stats" -> (Queries.embedLabelStats _),
     "q_embed_ann_lsh" -> ((s: SparkSession, d: String) => Queries.embedAnnLsh(s, d)),
+    "q_embed_ivf_topk" -> ((s: SparkSession, d: String) => Queries.embedIvfTopK(s, d)),
     // multimodal plumbing
     "q_mm_meta" -> (Queries.mmMeta _),
     "q_mm_decode_stub" -> (Queries.mmDecodeStub _),

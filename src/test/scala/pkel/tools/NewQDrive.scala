@@ -6,6 +6,7 @@ object NewQDrive {
     spark.sparkContext.setLogLevel("ERROR")
     graft.Queries.elPromptTier(spark, "/root/testdata/sf0.001").show(20, false)
     graft.Queries.elContrastivePairs(spark, "/root/testdata/sf0.001").show(10, false)
+    graft.Queries.embedIvfTopK(spark, "/root/testdata/sf0.001").show(10, false)
     spark.stop()
   }
 }
