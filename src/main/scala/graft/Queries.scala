@@ -493,6 +493,46 @@ object Queries {
       .orderBy("first_seen_doc")
   }
 
+  /** Frame-sampling plumbing over opaque media payloads: treat the binary as
+    * fixed-width frames, keep every `stride`-th frame, emit per-doc sampled
+    * counts + a digest of the sampled bytes. The decode is a stub (bytes ARE
+    * the frames); the Spark side — binary in, deterministic sampling, fixed
+    * scalar schema out, batched per partition — is the real pattern a video
+    * pipeline needs. Rows-only. */
+  def mmFrameSample(spark: SparkSession, dir: String, frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("n_sampled", IntegerType),
+      StructField("sample_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        md.reset()
+        var f = 0
+        var sampled = 0
+        while (f < nFrames) {
+          if (f % stride == 0) {
+            val from = f * frameBytes
+            md.update(bytes, from, math.min(frameBytes, bytes.length - from))
+            sampled += 1
+          }
+          f += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), nFrames, sampled,
+          md.digest().map("%02x".format(_)).mkString)
+      }
+    }(enc)
+      .orderBy("doc_id")
+  }
+
   // ---- entity-linking pipeline exposure (rows-only; deterministic) -------
 
   /** Numeric scale factor parsed from a testdata dir name (".../sf0.01");

@@ -46,6 +46,7 @@ object SparkEntry {
     // multimodal plumbing
     "q_mm_meta" -> (Queries.mmMeta _),
     "q_mm_decode_stub" -> (Queries.mmDecodeStub _),
+    "q_mm_frame_sample" -> ((s: SparkSession, d: String) => Queries.mmFrameSample(s, d)),
     // entity-linking pipeline (deterministic synthetic transcripts)
     "q_el_exact" -> (Queries.elExact _),
     "q_el_cascade" -> (Queries.elCascade _),
