@@ -21,6 +21,8 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
   // ---- core relational operators -----------------------------------------
@@ -480,7 +482,9 @@ object Queries {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .select("content_hash", "doc_id")
-    val name = s"stream_dedup_${math.abs(dir.hashCode)}"
+    // unique per invocation: a reused memory-sink query name would collide
+    // when the battery runs twice in one JVM
+    val name = s"stream_dedup_${math.abs(dir.hashCode)}_${streamRuns.incrementAndGet()}"
     val q = deduped.writeStream
       .outputMode("append")
       .format("memory")

@@ -45,4 +45,12 @@ class QueriesSpec extends SparkSpec {
     assert(Queries.embedLabelStats(spark, dir).count() > 0)
     assert(Queries.docShingleJaccard(spark, dir).count() > 0)
   }
+
+  test("streaming dedup query is re-runnable within one JVM") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val n1 = Queries.streamDedupExact(spark, dir).count()
+    val n2 = Queries.streamDedupExact(spark, dir).count()
+    assert(n1 > 0 && n1 == n2)
+  }
 }
