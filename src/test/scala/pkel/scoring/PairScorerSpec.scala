@@ -51,6 +51,19 @@ class PairScorerSpec extends SparkSpec {
       "lean output must drop feature columns")
   }
 
+  test("scoreCandidates rows are invariant to shuffle-partition count") {
+    val cfg = PairGen.Config(adaptiveSalt = true, targetBucketSize = 16)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = rowsOf(PairScorer.scoreCandidates(corpus.repartition(3), cfg))
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val b = rowsOf(PairScorer.scoreCandidates(corpus.repartition(11), cfg))
+      assert(a == b, "pair set + scores must not depend on physical layout")
+      assert(a.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("unique-surface corpus (memo-miss regime): vec path scores each mention once") {
     // every surface distinct → the per-pair memo never hits; correctness must
     // hold on both paths regardless
