@@ -64,10 +64,14 @@ object Queries {
       .orderBy("o_custkey", "rk")
   }
 
-  /** Anti join: customers without orders. */
+  /** Anti join: customers with no urgent-priority order ("without orders"
+    * was vacuously empty at every test scale — a 0-row anti-join verifies
+    * nothing). */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
     c.join(o, Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")

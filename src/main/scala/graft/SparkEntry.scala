@@ -79,7 +79,8 @@ object SparkEntry {
         |ORDER BY o_custkey, rk""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT p_partkey, p_name, p_size FROM part p
