@@ -482,23 +482,26 @@ object Queries {
     val streamIn = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
+    // streaming AGGREGATION (min per hash), not dropDuplicates: the dedup
+    // state store keeps an arbitrary first-arriving survivor, which flips
+    // with partitioning when duplicates span input splits — min is the
+    // deterministic canonical representative at any parallelism
     val deduped = streamIn
       .withColumn("content_hash", md5(col("text")))
-      .dropDuplicates("content_hash")
-      .select("content_hash", "doc_id")
+      .groupBy("content_hash").agg(min("doc_id").as("canonical_doc"))
     // unique per invocation: a reused memory-sink query name would collide
     // when the battery runs twice in one JVM
     val name = s"stream_dedup_${math.abs(dir.hashCode)}_${streamRuns.incrementAndGet()}"
     val q = deduped.writeStream
-      .outputMode("append")
+      .outputMode("complete")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    spark.table(name)
-      .groupBy("content_hash").agg(min("doc_id").as("first_seen_doc"))
-      .orderBy("first_seen_doc")
+    val finished = q.awaitTermination(120000)
+    if (!finished) q.stop()
+    require(finished, s"streaming dedup did not finish within 120s ($name)")
+    spark.table(name).orderBy("canonical_doc")
   }
 
   /** Frame-sampling plumbing over opaque media payloads: treat the binary as
@@ -559,8 +562,14 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[String, (Seq[pkel.model.OntologyEntry], DataFrame)]
   private val cascadeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // cache keys include the Spark application id: a persisted DataFrame is
+  // bound to its session, and a dir-only key would serve entries from a
+  // stopped session to a later one in the same JVM
+  private def cacheKey(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "#" + dir
+
   private def synthMentions(spark: SparkSession, dir: String) =
-    synthCache.getOrElseUpdate(dir, {
+    synthCache.getOrElseUpdate(cacheKey(spark, dir), {
       val nConvs = convsForSf(sfOf(dir), base = 100L)
       val entries = Ontology.load()
       val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)
@@ -571,7 +580,7 @@ object Queries {
 
   /** Default-config cascade output, shared by the queries that consume it. */
   private def linkedMentions(spark: SparkSession, dir: String): DataFrame =
-    cascadeCache.getOrElseUpdate(dir, {
+    cascadeCache.getOrElseUpdate(cacheKey(spark, dir), {
       val (entries, mentions) = synthMentions(spark, dir)
       pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -200,7 +200,13 @@ object PairGen {
         explode(minhashUdf(col("tokens"), lit(cfg.minhashFunctions), lit(cfg.lshBands))).as("band")): _*)
       .withColumn("bucket_key", col("band").cast("string"))
       .select((Seq("bucket_key", "mention_id", "blocking_key") ++ features).map(col): _*)
-    pairsInBuckets(banded, features, cfg, dropOversized = true)
+    // ALWAYS the streaming self-join here: LSH buckets run up to
+    // maxBucketSize (default 1000) members, and the fused explosion would
+    // materialize C(1000,2) feature-carrying structs as ONE array value
+    // (hundreds of MB against the 2 GB row limit); the join streams the
+    // same pairs in O(n) memory. The fused form stays for salted buckets,
+    // whose size the adaptive salt bounds near targetBucketSize.
+    pairsInBucketsJoin(banded, features, cfg.maxBucketSize, dropOversized = true)
       // same key pair recurs across bands; rep set is small
       .dropDuplicates("src", "dst")
   }

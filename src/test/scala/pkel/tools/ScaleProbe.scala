@@ -23,7 +23,8 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val pairs = pkel.blocking.PairGen.candidatePairsWithFeatures(keyed,
         pkel.blocking.PairGen.Config(fusedBuckets = fused))
-      val stage = args.lift(5).getOrElse("scored")
+      val stageTokens = Set("scored", "pairs", "buckets", "kernel")
+      val stage = args.reverse.find(stageTokens.contains).getOrElse("scored")
       val n = stage match {
         case "buckets" => pkel.blocking.PairGen.saltedBucketTable(keyed,
           pkel.blocking.PairGen.Config(fusedBuckets = fused)).count()
