@@ -56,6 +56,23 @@ object Bench {
   def pairThroughput(spark: SparkSession, nConvs: Long): (Long, Double) =
     pairThroughputFrom(spark, materializeKeyed(spark, nConvs))
 
+  /** The driver-contract JSON line (one object, no nesting surprises).
+    * Extracted so a spec can pin that it stays machine-parseable — round 1
+    * lost its bench metrics to a parse failure. */
+  def jsonLine(queries: Seq[(String, Double)], sfDir: String, nPairs: Long,
+      pairsPerSec: Double, cpus: String, failed: Seq[String]): String = {
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = queries.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    val total = queries.map(_._2).sum
+    val failedJson = failed.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","scored_pairs":$nPairs,"scored_pairs_per_sec":$pairsPerSec,"cpus":"${esc(cpus)}","failed":$failedJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,11 +94,7 @@ object Bench {
     val nPairs = reps.head._1
     val pairsPerSec = reps.map(_._2).max
     val all = results :+ ("el_pair_scoring" -> nPairs / pairsPerSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scored_pairs":$nPairs,"scored_pairs_per_sec":$pairsPerSec,"cpus":"$cpus","failed":$failedJson}"""
+    val json = jsonLine(all, sfDir, nPairs, pairsPerSec, cpus, failed.toSeq)
     println(json)
     System.err.println(json)
     // sbt decorates stdout with [info]/[error] prefixes that break the

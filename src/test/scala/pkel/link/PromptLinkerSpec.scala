@@ -28,6 +28,11 @@ class PromptLinkerSpec extends SparkSpec {
     // unrecognized → grounding failure (None), reference prints + NILs
     assert(PromptLinker.ground("{param: flux capacitance}", nameToId).isEmpty)
     assert(PromptLinker.ground(null, nameToId).isEmpty)
+    // every ontology entry's name grounds back to its own id
+    entries.foreach { e =>
+      assert(PromptLinker.ground(s"{param: ${e.parameterName}}", nameToId)
+        .contains(e.parameterId), s"failed to ground ${e.parameterName}")
+    }
   }
 
   test("user prompt carries mention, optional context/examples, and the ontology block") {
