@@ -237,14 +237,35 @@ object Queries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash-LSH dedup buckets (scale path of near-dup detection): band
-    * buckets with ≥2 members. Not SQL-expressible → rows-only check. */
+  /** Unsigned 64-bit hash = first 16 hex chars of md5 — chosen over murmur
+    * for the battery because it is exactly expressible in the DuckDB oracle
+    * (`('0x' || substr(md5(s),1,16))::UBIGINT`), turning the MinHash/SimHash
+    * rows-only checks into full hash-verified ones. The hot EL pipeline keeps
+    * the cheaper murmur minhash in `pkel.blocking.PairGen`. */
+  private def md5Hash64(s: String): Long =
+    java.lang.Long.parseUnsignedLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 16), 16)
+
+  private def hex16(v: Long): String = f"$v%016x"
+
+  /** MinHash-LSH dedup buckets (scale path of near-dup detection): 32 md5
+    * minhashes over word 3-gram shingles, 8 bands of 4, band buckets with
+    * ≥2 members. Oracle-verified against the same construction in SQL. */
   def docMinhashBuckets(spark: SparkSession, dir: String): DataFrame = {
     val mh = udf((text: String) => {
       val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
       val shingles = if (tokens.length < 3) Seq(tokens.mkString(" "))
         else tokens.sliding(3).map(_.mkString(" ")).toSeq
-      pkel.blocking.PairGen.bandHashes(pkel.blocking.PairGen.minhash(shingles, 32), 8).toSeq
+      val mins = Array.tabulate(32) { j =>
+        var best = -1L // unsigned max
+        shingles.foreach { s =>
+          val h = md5Hash64(s"$j:$s")
+          if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+        }
+        best
+      }
+      mins.grouped(4).map(band =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(band.map(hex16).mkString(","))).toSeq
     })
     t(spark, dir, "documents")
       .select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
@@ -259,24 +280,26 @@ object Queries {
   }
 
   /** SimHash (64-bit) per document over word features — near-dup by hamming
-    * distance downstream. Rows-only check. */
+    * distance downstream. Token hash is md5-derived and the signature is
+    * emitted as a 16-hex string, so the identical construction runs in the
+    * DuckDB oracle (hash-verified, not rows-only). Every token OCCURRENCE
+    * votes ±1 per bit (standard simhash weighting by frequency). */
   def docSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sim = udf((text: String) => {
       val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       val acc = new Array[Int](64)
       tokens.foreach { tk =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(tk, 0x9747b28c).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(tk, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+        val h = md5Hash64(tk)
         var i = 0
         while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
       }
       var out = 0L
       var i = 0
       while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-      out
+      hex16(out)
     })
     t(spark, dir, "documents")
-      .select(col("doc_id"), sim(col("text")).as("simhash"))
+      .select(col("doc_id"), sim(col("text")).as("simhash_hex"))
       .orderBy("doc_id")
   }
 
@@ -321,20 +344,24 @@ object Queries {
     * brute-force top-1 neighbor. Oversized buckets (degenerate hyperplane
     * regions) are dropped wholesale before the self-join — without the cap a
     * dense region fans out quadratically at scale, same guard as the MinHash
-    * path. Rows-only check (bucketing not in SQL). */
+    * path. The hyperplane sign table is md5-derived so the identical
+    * bucketing runs in the DuckDB oracle (hash-verified). */
   def embedAnnLsh(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
     val planes = 12
+    // sign(p, i) = +1 iff the first md5 hex digit of "p_i" is even — a fixed
+    // pseudo-random ±1 matrix both engines can derive independently
+    val signs: Array[Array[Double]] = Array.tabulate(planes, 64) { (p, i) =>
+      val d = Character.digit(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"${p}_$i").charAt(0), 16)
+      if ((d & 1) == 0) 1.0 else -1.0
+    }
     val sig = udf((v: Seq[Float]) => {
       var out = 0
       var p = 0
       while (p < planes) {
         var s = 0.0
         var i = 0
-        while (i < v.length) {
-          val h = scala.util.hashing.MurmurHash3.productHash((p, i))
-          s += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
-          i += 1
-        }
+        while (i < v.length) { s += v(i).toDouble * signs(p)(i); i += 1 }
         if (s > 0) out |= (1 << p)
         p += 1
       }
@@ -363,20 +390,25 @@ object Queries {
     * partitions the corpus into cells; queries probe only their `nprobe`
     * nearest cells. At 100 TB this is the classic two-level layout: the
     * centroid table broadcasts, the corpus scan prunes to probed cells.
-    * Rows-only (iterative quantizer not in SQL). */
+    *
+    * Centroid means are EXACT: each element is floor-quantized to a 1e-6
+    * integer grid before summation (BIGINT sum, then one double division) —
+    * a floating `avg` would depend on Spark's partition-order accumulation
+    * and make the result run-to-run unstable. The same arithmetic runs in the
+    * DuckDB oracle, so the full two-sweep quantizer is hash-verified. */
   def embedIvfTopK(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 2,
       topK: Int = 3): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    def dot(a: Array[Float], b: Array[Float]): Double = {
+    def dot(a: Array[Float], c: Array[Double]): Double = {
       var s = 0.0
       var i = 0
-      while (i < a.length && i < b.length) { s += a(i).toDouble * b(i); i += 1 }
+      while (i < a.length && i < c.length) { s += a(i).toDouble * c(i); i += 1 }
       s
     }
     // coarse quantizer, driver-side refinement over broadcast-size state
-    var centroids: Array[Array[Float]] = e.filter(col("vec_id") < k)
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
-      .map(_.getSeq[Float](e.schema.fieldIndex("embedding")).toArray)
+      .map(_.getSeq[Float](e.schema.fieldIndex("embedding")).toArray.map(_.toDouble))
     (1 to 2).foreach { _ =>
       val cb = centroids
       val assign = udf((v: Seq[Float]) => {
@@ -386,15 +418,20 @@ object Queries {
         while (c < cb.length) { val s = dot(a, cb(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
         best
       })
-      // element-wise centroid means via posexplode + groupBy — k×dim output
-      // rows regardless of corpus size (never collects vectors per cell)
-      val means = e.withColumn("cell", assign(col("embedding")))
+      // element-wise centroid sums via posexplode + groupBy — k×dim output
+      // rows regardless of corpus size (never collects vectors per cell);
+      // integer sums make the mean independent of accumulation order
+      val sums = e.withColumn("cell", assign(col("embedding")))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "pos").agg(
+          sum(floor(col("x").cast("double") * 1000000.0).cast("long")).as("q"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      sums.foreach { r =>
+        // un-quantize after the exact division (empty cells keep their old
+        // centroid, so the scale must match across cells)
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / 1000000.0
       }
       centroids = next
     }
@@ -437,7 +474,8 @@ object Queries {
   /** Stubbed media decode: batched kernel over binary payloads producing a
     * fixed-width feature vector (byte histogram moments). The decode itself
     * is a deterministic fake — the Spark-side plumbing (binary column in,
-    * batch iteration, fixed schema out) is the real pattern. Rows-only. */
+    * batch iteration, fixed schema out) is the real pattern. Hash-verified:
+    * the byte-histogram arithmetic is integer-exact on both engines. */
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = t(spark, dir, "documents")
@@ -474,8 +512,9 @@ object Queries {
   /** Structured-Streaming exposure: exact dedup as an incremental job —
     * file stream over the documents table → streaming dropDuplicates on the
     * content hash → AvailableNow micro-batches into a memory sink. The
-    * result equals the batch dedup's canonical groups (driver rows-only; the
-    * streaming path itself is pinned stream==batch in StreamingSpec). */
+    * result equals the batch dedup's canonical groups, so the DuckDB batch
+    * GROUP BY is the oracle for the streaming path (also pinned stream==batch
+    * in StreamingSpec). */
   def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -509,7 +548,9 @@ object Queries {
     * counts + a digest of the sampled bytes. The decode is a stub (bytes ARE
     * the frames); the Spark side — binary in, deterministic sampling, fixed
     * scalar schema out, batched per partition — is the real pattern a video
-    * pipeline needs. Rows-only. */
+    * pipeline needs. The digest is md5 over the LOWERCASE HEX of the sampled
+    * bytes (not the raw bytes): byte-exact for any payload, and expressible
+    * in the DuckDB oracle, whose md5 only accepts strings. Hash-verified. */
   def mmFrameSample(spark: SparkSession, dir: String, frameBytes: Int = 64,
       stride: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
@@ -522,23 +563,24 @@ object Queries {
       StructField("sample_md5", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     docs.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        md.reset()
+        val hexed = new java.lang.StringBuilder
         var f = 0
         var sampled = 0
         while (f < nFrames) {
           if (f % stride == 0) {
             val from = f * frameBytes
-            md.update(bytes, from, math.min(frameBytes, bytes.length - from))
+            val until = math.min(from + frameBytes, bytes.length)
+            var i = from
+            while (i < until) { hexed.append(f"${bytes(i) & 0xFF}%02x"); i += 1 }
             sampled += 1
           }
           f += 1
         }
         org.apache.spark.sql.Row(r.getLong(0), nFrames, sampled,
-          md.digest().map("%02x".format(_)).mkString)
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexed.toString))
       }
     }(enc)
       .orderBy("doc_id")
@@ -578,24 +620,60 @@ object Queries {
       (entries, mentions)
     })
 
+  /** Tier sink writing (mention_id, y_pred, tier, status) per tier under the
+    * oracle dump dir — the DuckDB oracle re-derives the cascade union from
+    * these instead of trusting the Spark-side union. */
+  private def tierDumpSink(base: String): (String, DataFrame) => Unit =
+    (tier, df) => df.select("mention_id", "y_pred", "tier", "status")
+      .write.mode("overwrite").parquet(s"$base/$tier")
+
   /** Default-config cascade output, shared by the queries that consume it. */
   private def linkedMentions(spark: SparkSession, dir: String): DataFrame =
     cascadeCache.getOrElseUpdate(cacheKey(spark, dir), {
       val (entries, mentions) = synthMentions(spark, dir)
-      pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
+      pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries,
+        pkel.link.Cascade.Config(tierSink = Some(tierDumpSink(oracleDump(dir) + "/cascade"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** Exact linker tier over synthesized transcript mentions. */
+  /** Side-channel for EL oracle inputs: the Scala-only kernels (tokenizer,
+    * regex flags, pair scoring) dump their outputs as parquet so the DuckDB
+    * oracle can independently re-run the RELATIONAL part of each operator
+    * (the broadcast join + when-cascade; the connected-components fixpoint)
+    * on the same machine the driver's comparator runs on. */
+  private def oracleDump(dir: String): String = {
+    val tag = "sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    s"/tmp/graft_oracle/$tag"
+  }
+
+  /** Exact linker tier over synthesized transcript mentions. Hash-verified:
+    * the blocking join + candidate when-cascade is recomputed by the DuckDB
+    * oracle from the dumped keyed-mention table and blocking index (the regex
+    * flags are inputs — they are pinned byte-for-byte against the reference
+    * by the parity specs, not by this oracle). */
   def elExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (entries, mentions) = synthMentions(spark, dir)
     val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
-    pkel.link.ExactLinker.link(spark, keyed, Ontology.blockingIndex(entries))
+    val index = Ontology.blockingIndex(entries)
+    val linked = pkel.link.ExactLinker.link(spark, keyed, index, keepDebug = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dump = oracleDump(dir) + "/el_exact"
+    linked.select(col("mention_id"), col("blocking_key"), col("is_table"), col("is_excluded"),
+      element_at(col("disamb"), 1).as("disamb_kind"),
+      when(element_at(col("disamb"), 1) === "R", element_at(col("disamb"), 2)).as("disamb_value"))
+      .write.mode("overwrite").parquet(s"$dump/mentions")
+    index.map { case (k, cands) => (k, cands.size, cands.head, cands.contains("Q57")) }
+      .toDF("blocking_key", "n_candidates", "first_candidate", "has_q57")
+      .write.mode("overwrite").parquet(s"$dump/index")
+    linked
       .select("mention_id", "blocking_key", "y_pred", "status")
       .orderBy("mention_id")
   }
 
-  /** Full cascade tier/status distribution. */
+  /** Full cascade tier/status distribution. Hash-verified: DuckDB re-derives
+    * the first-terminal-tier-wins union from the per-tier dumps and must land
+    * on the same distribution the Spark-side residue wiring produces. */
   def elCascade(spark: SparkSession, dir: String): DataFrame =
     linkedMentions(spark, dir)
       .groupBy("tier", "status").agg(count(lit(1)).as("n"))
@@ -603,7 +681,8 @@ object Queries {
 
   /** Tier-5 prompt linker over the cascade residue with the deterministic
     * offline SubstringScorer — tier/status distribution incl. the prompt
-    * tier's three grounding outcomes. Rows-only. */
+    * tier's three grounding outcomes. Hash-verified via per-tier dumps like
+    * the default cascade. */
   def elPromptTier(spark: SparkSession, dir: String): DataFrame = {
     val (entries, mentions) = synthMentions(spark, dir)
     // the default cascade links everything in this corpus (the typo-tolerant
@@ -614,7 +693,8 @@ object Queries {
       fuzzyThreshold = 95.0,
       surfaceThreshold = 101.0, // > 100: surface tier passes everything through
       biencoderThreshold = 1.01, // > cos max: bi-encoder always NIL-falls-back
-      promptScorer = Some(new pkel.link.PromptLinker.SubstringScorer(entries)))
+      promptScorer = Some(new pkel.link.PromptLinker.SubstringScorer(entries)),
+      tierSink = Some(tierDumpSink(oracleDump(dir) + "/prompt_cascade")))
     pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries, cfg)
       .groupBy("tier", "status").agg(count(lit(1)).as("n"))
       .orderBy("tier", "status")
@@ -622,24 +702,47 @@ object Queries {
 
   /** Contrastive training pairs (positives + same-category hard negatives +
     * random negatives) over cascade-linked mentions, label distribution per
-    * pair polarity. Rows-only (seeded hash sampling not in SQL). */
+    * pair polarity. Hash-verified: the NIL filter, gold join, same-category /
+    * full-ontology negative joins, window sampling and final aggregation are
+    * re-run by the DuckDB oracle from dumped inputs; the xxhash64 pick values
+    * are dumped as an input table (Spark's xxhash64 has no DuckDB twin). */
   def elContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     val entries = synthMentions(spark, dir)._1
     val linked = linkedMentions(spark, dir)
       .select(col("mention_id"), col("blocking_key").as("mention"), col("y_pred").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = pkel.train.ContrastivePairs.ontologyDim(spark, entries)
+    val base = oracleDump(dir) + "/contrastive"
+    linked.select(col("mention_id"), col("mention").as("query"), col("label").as("gold"))
+      .write.mode("overwrite").parquet(s"$base/mentions")
+    dim.write.mode("overwrite").parquet(s"$base/dim")
+    import spark.implicits._
+    val tags = Seq("hard", "random").toDF("tag")
+    linked.select("mention_id")
+      .crossJoin(broadcast(dim.select("parameter_id")))
+      .crossJoin(broadcast(tags))
+      .withColumn("pick_hash",
+        xxhash64(lit(42L), col("tag"), col("mention_id"), col("parameter_id")))
+      .write.mode("overwrite").parquet(s"$base/picks")
     pkel.train.ContrastivePairs.generate(spark, linked, entries)
       .groupBy("label").agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("mention_id")).as("n_mentions"))
       .orderBy("label")
   }
 
-  /** End-to-end clustering: cluster size distribution. */
+  /** End-to-end clustering: cluster size distribution. Hash-verified: the
+    * large-star/small-star fixpoint is cross-checked by the DuckDB oracle,
+    * which recomputes min-reachable-id components from the dumped edge list
+    * via a recursive transitive closure (feasible at verify scale; the
+    * scored edges themselves come from the spec-pinned Scala kernel). */
   def elClusters(spark: SparkSession, dir: String): DataFrame = {
     val (entries, mentions) = synthMentions(spark, dir)
     val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
     val scored = pkel.scoring.PairScorer.scoreCandidates(
       keyed.select("mention_id", "blocking_key", "tokens", "mention"))
     val edges = scored.filter(col("score") >= 0.9).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.write.mode("overwrite").parquet(oracleDump(dir) + "/cluster_edges")
     val comps = pkel.cluster.ConnectedComponents.run(spark, edges)
     comps.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

@@ -6,9 +6,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * `queries` is the operator battery (graft.Queries); `oracleSql` carries a
   * DuckDB-equivalent for every SQL-expressible query with identical column
   * names (float-derived columns are floor-quantized to integers on both
-  * sides so hashes are engine-stable). Non-SQL-expressible operators
-  * (MinHash-LSH, SimHash, ANN-LSH, the EL pipeline, the stubbed media
-  * decode) are registered without an oracle → rows-only check.
+  * sides so hashes are engine-stable). Hash-family operators (MinHash-LSH,
+  * SimHash, ANN-LSH, media decode/frame-sample digests) derive their hashes
+  * from md5 so the identical construction is expressible in DuckDB and
+  * hash-verified. Only the EL pipeline queries (Scala tokenizer kernel +
+  * synthesized input) and the iterative IVF quantizer stay rows-only.
   */
 object SparkEntry {
 
@@ -216,5 +218,302 @@ object SparkEntry {
       """SELECT doc_id,
         | OCTET_LENGTH(ENCODE(text)) AS n_bytes,
         | MD5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // streaming dedup == batch dedup by construction (AvailableNow drains the
+    // full input); the batch GROUP BY is therefore the oracle
+    "q_stream_dedup" ->
+      """SELECT MD5(text) AS content_hash, MIN(doc_id) AS canonical_doc
+        |FROM documents GROUP BY MD5(text) ORDER BY canonical_doc""".stripMargin,
+    // simhash: per-token md5-derived 64-bit hash, every occurrence votes ±1
+    // per bit; signature assembled nibble-wise (DuckDB cannot shift into bit
+    // 63 of a UBIGINT) into the same 16-hex string the Spark side emits
+    "q_doc_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+        | FROM documents),
+        |bits AS (
+        | SELECT doc_id, r.i,
+        |  SUM(CASE WHEN ((('0x' || SUBSTR(MD5(tk),1,16))::UBIGINT >> r.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        | FROM toks, RANGE(0, 64) r(i)
+        | GROUP BY doc_id, r.i),
+        |nibbles AS (
+        | SELECT doc_id, (i // 4) AS nib,
+        |  SUM(CASE WHEN s > 0 THEN (1 << (i % 4)) ELSE 0 END) AS nv
+        | FROM bits GROUP BY doc_id, (i // 4)),
+        |hexes AS (
+        | SELECT doc_id, STRING_AGG(SUBSTR('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS simhash_hex
+        | FROM nibbles GROUP BY doc_id)
+        |SELECT doc_id, simhash_hex FROM hexes ORDER BY doc_id""".stripMargin,
+    // minhash: 32 md5 hash functions over word 3-gram shingles, 8 bands of 4,
+    // band bucket = md5 of the comma-joined 16-hex minhashes
+    "q_doc_minhash_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, UNNEST(CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+        |   ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2), i -> ARRAY_TO_STRING(w[i:i+2], ' ')) END) AS s
+        | FROM toks),
+        |mh AS (
+        | SELECT doc_id, r.j, MIN(('0x' || SUBSTR(MD5(r.j::VARCHAR || ':' || s), 1, 16))::UBIGINT) AS m
+        | FROM sh, RANGE(0, 32) r(j)
+        | GROUP BY doc_id, r.j),
+        |bands AS (
+        | SELECT doc_id, (j // 4) AS band,
+        |  MD5(STRING_AGG(LPAD(LOWER(HEX(m)), 16, '0'), ',' ORDER BY j)) AS bucket
+        | FROM mh GROUP BY doc_id, (j // 4))
+        |SELECT band, bucket, COUNT(*) AS n_docs,
+        | STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id) AS docs
+        |FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
+        |ORDER BY band, bucket""".stripMargin,
+    // ANN-LSH: md5-derived ±1 hyperplane matrix, 12-bit bucket signature,
+    // bucket-size cap, within-bucket top-1 by (dot desc, vec_id); the inner
+    // LIST_SUM folds in index order like Spark's aggregate(), so the doubles
+    // are bit-identical before ROUND
+    "q_embed_ann_lsh" ->
+      """WITH sgn AS (
+        | SELECT LIST(sv ORDER BY p) AS m FROM (
+        |  SELECT p, LIST(CASE WHEN (('0x' || SUBSTR(MD5(p::VARCHAR || '_' || i::VARCHAR), 1, 1))::INT & 1) = 0
+        |    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS sv
+        |  FROM RANGE(0, 12) rp(p), RANGE(0, 64) ri(i) GROUP BY p)),
+        |eb AS (
+        | SELECT e.vec_id, e.embedding,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 12), p ->
+        |    CASE WHEN LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)), k ->
+        |      CAST(e.embedding[k] AS DOUBLE) * sgn.m[p][k])) > 0
+        |    THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS bucket
+        | FROM embeddings e, sgn),
+        |small AS (SELECT bucket FROM eb GROUP BY bucket HAVING COUNT(*) <= 256),
+        |e2 AS (SELECT eb.* FROM eb JOIN small USING (bucket)),
+        |scored AS (
+        | SELECT a.vec_id AS query_id, b.vec_id,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)), k ->
+        |    CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))), 4) AS cos_sim
+        | FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM scored)
+        |SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    // byte histogram over the payload: high nibble of each byte == the odd
+    // hex digits of HEX(payload); integer basis points, argmax ties → lowest
+    // bin (Spark's strictly-greater scan)
+    "q_mm_decode_stub" ->
+      """WITH h AS (
+        | SELECT doc_id, LOWER(HEX(ENCODE(text))) AS hx, OCTET_LENGTH(ENCODE(text)) AS n_bytes
+        | FROM documents),
+        |binc AS (
+        | SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, n_bytes), g -> ('0x' || hx[2*g-1])::INT)) AS bin
+        | FROM h),
+        |cnts AS (SELECT doc_id, bin, COUNT(*) AS c FROM binc GROUP BY doc_id, bin),
+        |fullb AS (
+        | SELECT h.doc_id, r.b AS bin,
+        |  (COALESCE(c.c, 0) * 10000) // GREATEST(h.n_bytes, 1) AS bp
+        | FROM h CROSS JOIN RANGE(0, 16) r(b)
+        | LEFT JOIN cnts c ON c.doc_id = h.doc_id AND c.bin = r.b),
+        |agg AS (
+        | SELECT doc_id, MAX(bp) AS dominant_bp,
+        |  MD5(STRING_AGG(bp::VARCHAR, ',' ORDER BY bin)) AS features_md5
+        | FROM fullb GROUP BY doc_id),
+        |dom AS (
+        | SELECT f.doc_id, MIN(f.bin) AS dominant_bin
+        | FROM fullb f JOIN agg a ON a.doc_id = f.doc_id AND f.bp = a.dominant_bp
+        | GROUP BY f.doc_id)
+        |SELECT h.doc_id, h.n_bytes, dom.dominant_bin, agg.dominant_bp, agg.features_md5
+        |FROM h JOIN agg ON agg.doc_id = h.doc_id JOIN dom ON dom.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    // cascade union: re-derive each mention's final (tier, status) as the
+    // FIRST terminal tier from the per-tier dumps — a bug in the Spark-side
+    // residue wiring (double-emission, lost residue) breaks the distribution
+    "q_el_cascade" ->
+      """WITH t AS (
+        | SELECT mention_id, tier, status, 1 AS tr,
+        |  status IN ('linked','disambiguated','table_default','excluded') AS term
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/cascade/exact/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 2, status = 'linked'
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/cascade/fuzzy/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 3, status = 'linked'
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/cascade/surface/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 4, TRUE
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/cascade/bienc/*.parquet')),
+        |fin AS (
+        | SELECT mention_id, tier, status,
+        |  ROW_NUMBER() OVER (PARTITION BY mention_id ORDER BY tr) AS rk
+        | FROM t WHERE term)
+        |SELECT tier, status, COUNT(*) AS n FROM fin WHERE rk = 1
+        |GROUP BY tier, status ORDER BY tier, status""".stripMargin,
+    // same re-derivation for the five-tier prompt cascade (bi-encoder is
+    // non-terminal when unlinked; the prompt tier is always terminal)
+    "q_el_prompt_tier" ->
+      """WITH t AS (
+        | SELECT mention_id, tier, status, 1 AS tr,
+        |  status IN ('linked','disambiguated','table_default','excluded') AS term
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cascade/exact/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 2, status = 'linked'
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cascade/fuzzy/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 3, status = 'linked'
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cascade/surface/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 4, status = 'linked'
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cascade/bienc/*.parquet')
+        | UNION ALL
+        | SELECT mention_id, tier, status, 5, TRUE
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cascade/prompt/*.parquet')),
+        |fin AS (
+        | SELECT mention_id, tier, status,
+        |  ROW_NUMBER() OVER (PARTITION BY mention_id ORDER BY tr) AS rk
+        | FROM t WHERE term)
+        |SELECT tier, status, COUNT(*) AS n FROM fin WHERE rk = 1
+        |GROUP BY tier, status ORDER BY tier, status""".stripMargin,
+    // contrastive pairs: NIL filter, gold join, negative joins, window
+    // sampling and the final aggregation re-run from dumped inputs; the
+    // xxhash64 pick values are a dumped input table
+    "q_el_contrastive" ->
+      """WITH lm AS (
+        | SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/contrastive/mentions/*.parquet')
+        | WHERE LOWER(TRIM(gold)) <> 'q100'),
+        |dim AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/contrastive/dim/*.parquet')),
+        |ph AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/contrastive/picks/*.parquet')),
+        |wg AS (
+        | SELECT lm.mention_id, lm.gold, g.category_id AS gold_cat
+        | FROM lm JOIN dim g ON g.parameter_id = lm.gold),
+        |pos AS (SELECT mention_id, 1.0::DOUBLE AS label FROM wg),
+        |hard AS (SELECT mention_id, 0.0::DOUBLE AS label FROM (
+        |  SELECT wg.mention_id,
+        |   ROW_NUMBER() OVER (PARTITION BY wg.mention_id ORDER BY ph.pick_hash, d.parameter_id) AS rk
+        |  FROM wg JOIN dim d ON d.category_id = wg.gold_cat AND d.parameter_id <> wg.gold
+        |  JOIN ph ON ph.tag = 'hard' AND ph.mention_id = wg.mention_id AND ph.parameter_id = d.parameter_id) t
+        | WHERE rk <= 1),
+        |rnd AS (SELECT mention_id, 0.0::DOUBLE AS label FROM (
+        |  SELECT wg.mention_id,
+        |   ROW_NUMBER() OVER (PARTITION BY wg.mention_id ORDER BY ph.pick_hash, d.parameter_id) AS rk
+        |  FROM wg JOIN dim d ON d.parameter_id <> wg.gold
+        |  JOIN ph ON ph.tag = 'random' AND ph.mention_id = wg.mention_id AND ph.parameter_id = d.parameter_id) t
+        | WHERE rk <= 1),
+        |allp AS (SELECT * FROM pos UNION ALL SELECT * FROM hard UNION ALL SELECT * FROM rnd)
+        |SELECT label, COUNT(*) AS n_pairs, COUNT(DISTINCT mention_id) AS n_mentions
+        |FROM allp GROUP BY label ORDER BY label""".stripMargin,
+    // IVF: the full two-sweep quantizer re-run in SQL — seed centroids, two
+    // assignment+exact-quantized-mean rounds, nprobe=2 probe, top-3; all
+    // dot products fold in index order so the doubles are bit-identical
+    "q_embed_ivf_topk" ->
+      """WITH c0 AS (
+        | SELECT vec_id AS cell, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        | FROM embeddings WHERE vec_id < 16),
+        |a1 AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * c.cv[k])) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e, c0 c) t WHERE rk = 1),
+        |m1 AS (
+        | SELECT cell, r.pos,
+        |  SUM(CAST(FLOOR(CAST(embedding[r.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,
+        |  COUNT(*) AS n
+        | FROM a1, RANGE(1, 65) r(pos) GROUP BY cell, r.pos),
+        |c1 AS (
+        | SELECT c0.cell, LIST(COALESCE(CAST(m.q AS DOUBLE) / m.n / 1000000.0, c0.cv[r.pos]) ORDER BY r.pos) AS cv
+        | FROM c0 CROSS JOIN RANGE(1, 65) r(pos)
+        | LEFT JOIN m1 m ON m.cell = c0.cell AND m.pos = r.pos
+        | GROUP BY c0.cell),
+        |a2 AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * c.cv[k])) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e, c1 c) t WHERE rk = 1),
+        |m2 AS (
+        | SELECT cell, r.pos,
+        |  SUM(CAST(FLOOR(CAST(embedding[r.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,
+        |  COUNT(*) AS n
+        | FROM a2, RANGE(1, 65) r(pos) GROUP BY cell, r.pos),
+        |c2 AS (
+        | SELECT c1.cell, LIST(COALESCE(CAST(m.q AS DOUBLE) / m.n / 1000000.0, c1.cv[r.pos]) ORDER BY r.pos) AS cv
+        | FROM c1 CROSS JOIN RANGE(1, 65) r(pos)
+        | LEFT JOIN m2 m ON m.cell = c1.cell AND m.pos = r.pos
+        | GROUP BY c1.cell),
+        |corpus AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * c.cv[k])) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e, c2 c) t WHERE rk = 1),
+        |qs AS (
+        | SELECT query_id, qvec, cell FROM (
+        |  SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cell,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * c.cv[k])) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e, c2 c WHERE e.vec_id < 10) t WHERE rk <= 2),
+        |scored AS (
+        | SELECT qs.query_id, corpus.vec_id,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qs.qvec)),
+        |    k -> CAST(qs.qvec[k] AS DOUBLE) * CAST(corpus.embedding[k] AS DOUBLE))), 4) AS cos_sim
+        | FROM qs JOIN corpus ON corpus.cell = qs.cell AND corpus.vec_id <> qs.query_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        | ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM scored)
+        |SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
+    // exact-linker tier: DuckDB re-runs the blocking join + candidate
+    // when-cascade from the dumped keyed mentions + index (written by the
+    // query itself under /tmp/graft_oracle; the driver verifies at sf0.01 on
+    // this machine, so the dump is present when the oracle runs). The regex
+    // flags are dumped inputs — they are pinned against the reference by the
+    // parity specs; THIS oracle verifies the join + priority logic.
+    "q_el_exact" ->
+      """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/el_exact/mentions/*.parquet')),
+        |ix AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/el_exact/index/*.parquet')),
+        |j AS (
+        | SELECT m.mention_id, m.blocking_key, m.is_table, m.is_excluded,
+        |  m.disamb_kind, m.disamb_value, ix.n_candidates, ix.first_candidate, ix.has_q57
+        | FROM m LEFT JOIN ix USING (blocking_key))
+        |SELECT mention_id, blocking_key,
+        | CASE WHEN is_excluded THEN 'Q100'
+        |      WHEN n_candidates IS NULL THEN 'Q100'
+        |      WHEN n_candidates = 1 THEN first_candidate
+        |      WHEN is_table AND has_q57 THEN 'Q57'
+        |      WHEN disamb_kind = 'R' THEN disamb_value
+        |      ELSE 'Q100' END AS y_pred,
+        | CASE WHEN is_excluded THEN 'excluded'
+        |      WHEN n_candidates IS NULL THEN 'unlinked'
+        |      WHEN n_candidates = 1 THEN 'linked'
+        |      WHEN is_table AND has_q57 THEN 'table_default'
+        |      WHEN disamb_kind = 'R' THEN 'disambiguated'
+        |      ELSE 'ambiguous' END AS status
+        |FROM j ORDER BY mention_id""".stripMargin,
+    // connected components cross-check: min reachable id over the dumped
+    // edge list via recursive transitive closure == the Spark large-star/
+    // small-star fixpoint roots
+    "q_el_clusters" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT src AS s, dst AS d
+        |       FROM read_parquet('/tmp/graft_oracle/sf0.01/cluster_edges/*.parquet')
+        |       WHERE src <> dst),
+        |e AS (SELECT s AS a, d AS b FROM e0 UNION SELECT d, s FROM e0),
+        |reach AS (
+        | SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |roots AS (SELECT a AS node, MIN(b) AS root FROM reach GROUP BY a),
+        |sizes AS (SELECT root, COUNT(*) AS cluster_size FROM roots GROUP BY root)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // frame sampling: every 4th 64-byte frame == every 4th 128-hex-char chunk
+    // of HEX(payload); digest over the concatenated lowercase hex
+    "q_mm_frame_sample" ->
+      """WITH h AS (
+        | SELECT doc_id, LOWER(HEX(ENCODE(text))) AS hx,
+        |  (OCTET_LENGTH(ENCODE(text)) + 63) // 64 AS n_frames
+        | FROM documents)
+        |SELECT doc_id, n_frames,
+        | LEN(LIST_FILTER(GENERATE_SERIES(0, n_frames - 1), f -> f % 4 = 0)) AS n_sampled,
+        | MD5(ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(GENERATE_SERIES(0, n_frames - 1), f -> f % 4 = 0),
+        |   f -> SUBSTR(hx, f * 128 + 1, 128)), '')) AS sample_md5
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

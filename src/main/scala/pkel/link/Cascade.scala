@@ -35,7 +35,12 @@ object Cascade {
       /** Optional tier 5: prompt/LLM linker over the bi-encoder's unlinked
         * residue (reference wiring: `evaluate_prompt_linker.py`). None = the
         * residue stays NIL, as in rounds without an external model. */
-      promptScorer: Option[PromptLinker.PromptScorer] = None)
+      promptScorer: Option[PromptLinker.PromptScorer] = None,
+      /** Observability seam: called once per tier with (tierName, fullTierOutput)
+        * before residue filtering — the battery uses it to dump tier outputs so
+        * the DuckDB oracle can re-derive the first-terminal-tier-wins union
+        * independently; a cluster deployment would point it at lineage tables. */
+      tierSink: Option[(String, DataFrame) => Unit] = None)
 
   private val predCols = Seq("mention_id", "label", "blocking_key", "y_pred", "tier", "status", "score")
 
@@ -51,9 +56,12 @@ object Cascade {
     val featured = Features.withMentionFeatures(
       ExactLinker.withBlockingKey(mentions), cfg.textWindow)
 
+    def sink(tier: String, df: DataFrame): Unit = cfg.tierSink.foreach(_(tier, df))
+
     // tier 1: exact — emits linked/excluded, residue flows on
     val exact = ExactLinker.link(spark, featured, index)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sink("exact", exact)
     val exactEmitted = exact.filter(col("status").isin(
       ExactLinker.StatusLinked, ExactLinker.StatusDisambiguated,
       ExactLinker.StatusTableDefault, ExactLinker.StatusExcluded))
@@ -73,6 +81,7 @@ object Cascade {
     val fuzzy = FuzzyLinker.link(spark, subsetted.drop("y_pred", "status", "tier"),
       index, cfg.fuzzyK, cfg.fuzzyThreshold, cfg.fuzzyMode, cfg.categoryConstrained)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sink("fuzzy", fuzzy)
     val fuzzyLinked = fuzzy.filter(col("status") === "linked")
     val residue2 = fuzzy.filter(col("status") === "unlinked")
       .drop("pred_ids", "pred_scores", "y_pred", "status", "tier", "score")
@@ -81,6 +90,7 @@ object Cascade {
     val surface = FuzzyLinker.linkRawSurface(spark, residue2,
       Ontology.surfaceIndex(entries), cfg.surfaceThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sink("surface", surface)
     val surfaceLinked = surface.filter(col("status") === "linked")
     val residue3 = surface.filter(col("status") === "unlinked")
       .drop("y_pred", "status", "tier", "score")
@@ -96,13 +106,22 @@ object Cascade {
     val tier4And5 = cfg.promptScorer match {
       case Some(scorer) =>
         val biencPersisted = bienc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sink("bienc", biencPersisted)
         val biencLinked = biencPersisted.filter(col("status") === "linked")
         val residue4 = biencPersisted.filter(col("status") === "unlinked")
           .drop("pred_ids", "pred_scores", "y_pred", "status", "tier", "score")
         val prompted = PromptLinker.link(spark, residue4, entries, scorer)
+        sink("prompt", prompted)
         biencLinked.select(predCols.map(col): _*)
           .unionByName(prompted.select(predCols.map(col): _*))
-      case None => bienc.select(predCols.map(col): _*)
+      case None =>
+        // persist before an eager sink write so the final union reuses the
+        // tier output instead of recomputing it
+        val b = if (cfg.tierSink.isDefined)
+          bienc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else bienc
+        sink("bienc", b)
+        b.select(predCols.map(col): _*)
     }
 
     exactEmitted.select(predCols.map(col): _*)

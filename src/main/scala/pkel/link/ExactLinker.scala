@@ -107,8 +107,11 @@ object ExactLinker {
   /** Run the exact tier. Input: mention DF with (mention_id, text, label,
     * span_start, span_end, is_table, mention, blocking_key). Output: input +
     * (y_pred, status, tier). Residue = rows with status ∈
-    * {ambiguous, unlinked}. */
-  def link(spark: SparkSession, mentions: DataFrame, index: Seq[(String, Seq[String])]): DataFrame = {
+    * {ambiguous, unlinked}. With `keepDebug` the intermediate `is_excluded` /
+    * `disamb` columns are retained (the battery dumps them so the DuckDB
+    * oracle can re-run the join + when-cascade independently). */
+  def link(spark: SparkSession, mentions: DataFrame, index: Seq[(String, Seq[String])],
+      keepDebug: Boolean = false): DataFrame = {
     import spark.implicits._
     val indexDf = index.toDF("blocking_key", "candidates")
 
@@ -141,6 +144,6 @@ object ExactLinker {
       .withColumn("potential_candidates",
         when(col("status") === StatusAmbiguous,
           when(col("disamb").isNotNull, slice(col("disamb"), 2, 1000)).otherwise(col("candidates"))))
-      .drop("is_excluded", "disamb")
+      .drop((if (keepDebug) Seq.empty[String] else Seq("is_excluded", "disamb")): _*)
   }
 }
