@@ -244,20 +244,23 @@ object SparkEntry {
         | SELECT doc_id, STRING_AGG(SUBSTR('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS simhash_hex
         | FROM nibbles GROUP BY doc_id)
         |SELECT doc_id, simhash_hex FROM hexes ORDER BY doc_id""".stripMargin,
-    // minhash: 32 md5 hash functions over word 3-gram shingles, 8 bands of 4,
-    // band bucket = md5 of the comma-joined 16-hex minhashes
+    // minhash: ONE md5 per shingle, 32 XOR-shifted hash functions
+    // (h_j = md5_64(shingle) XOR md5_64(j)), 8 bands of 4, band bucket =
+    // md5 of the comma-joined 16-hex minhashes
     "q_doc_minhash_buckets" ->
       """WITH toks AS (
         | SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '') AS w
         | FROM documents),
         |sh AS (
-        | SELECT doc_id, UNNEST(CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
-        |   ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2), i -> ARRAY_TO_STRING(w[i:i+2], ' ')) END) AS s
+        | SELECT doc_id,
+        |  ('0x' || SUBSTR(MD5(UNNEST(CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+        |   ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2), i -> ARRAY_TO_STRING(w[i:i+2], ' ')) END)), 1, 16))::UBIGINT AS h
         | FROM toks),
+        |shifts AS (SELECT j, ('0x' || SUBSTR(MD5(j::VARCHAR), 1, 16))::UBIGINT AS r FROM RANGE(0, 32) t(j)),
         |mh AS (
-        | SELECT doc_id, r.j, MIN(('0x' || SUBSTR(MD5(r.j::VARCHAR || ':' || s), 1, 16))::UBIGINT) AS m
-        | FROM sh, RANGE(0, 32) r(j)
-        | GROUP BY doc_id, r.j),
+        | SELECT doc_id, s.j, MIN(XOR(sh.h, s.r)) AS m
+        | FROM sh, shifts s
+        | GROUP BY doc_id, s.j),
         |bands AS (
         | SELECT doc_id, (j // 4) AS band,
         |  MD5(STRING_AGG(LPAD(LOWER(HEX(m)), 16, '0'), ',' ORDER BY j)) AS bucket
