@@ -77,6 +77,23 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Shuffle (sort-merge) join of two fact-scale tables — hinted to `merge`
+    * so the plan is the one a 100 TB join would use (no broadcast side); the
+    * lineitem side pre-aggregates before the join so the shuffle moves one
+    * row per orderkey. */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .select("o_orderkey", "o_totalprice")
+    val li = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(dec(sum(dec(col("l_extendedprice")))).cast("double").as("li_sum"),
+        count(lit(1)).as("n_items"))
+    o.join(li.hint("merge"), Seq("o_orderkey"))
+      .select("o_orderkey", "o_totalprice", "li_sum", "n_items")
+      .orderBy("o_orderkey")
+  }
+
   /** Semi join: parts that appear in lineitem. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
@@ -128,6 +145,26 @@ object Queries {
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("n"), col("sum_price"))
       .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Exact percentiles per group (sort-based aggregate; both engines use the
+    * same p*(n-1) linear interpolation, quantized to basis points). At 100 TB
+    * exact percentiles shuffle each group's values once — the approximate
+    * path would be a mergeable sketch, but cross-engine verification needs
+    * the exact operator. */
+  def eventQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        floor(col("p50") * 10000).cast("long").as("p50_bp"),
+        floor(col("p90") * 10000).cast("long").as("p90_bp"),
+        floor(col("p99") * 10000).cast("long").as("p99_bp"),
+        col("n"))
+      .orderBy("event_type")
 
   /** Event-time bucketing (streaming-windowed-agg analog in batch). */
   def eventHourly(spark: SparkSession, dir: String): DataFrame =
@@ -255,6 +292,20 @@ object Queries {
     * cut hashed md5("j:shingle") per function — 32× the digests, a measured
     * 40× regression at sf0.1 and a genuine scale-killer at 100 TB.) */
   private val minhashShifts: Array[Long] = Array.tabulate(32)(j => md5Hash64(j.toString))
+
+  /** Distinct fingerprints per language via the KMV sketch aggregate
+    * (`pkel.functions.KmvDistinct`, a native TypedImperativeAggregate): O(k)
+    * state per group, mergeable partials — the shape a 100 TB distinct-count
+    * needs. Deterministic md5 hashing means the DuckDB oracle reproduces the
+    * exact estimate (unlike HLL, whose sketch differs per engine). */
+  def docKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
+      .groupBy("lang")
+      .agg(pkel.functions.Functions.kmv_distinct(col("fingerprint")).as("approx_distinct"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
 
   /** MinHash-LSH dedup buckets (scale path of near-dup detection): 32
     * XOR-shifted md5 minhashes over word 3-gram shingles, 8 bands of 4, band
@@ -663,7 +714,7 @@ object Queries {
   /** The dumps exist solely for the DuckDB oracle, which the driver runs at
     * sf0.01 — writing them at bench scale would charge oracle-only IO to the
     * operator timings. `SPARK_GRAFT_ORACLE_DUMP=1` forces them at any sf. */
-  private def shouldDump(dir: String): Boolean =
+  private[graft] def shouldDump(dir: String): Boolean =
     sfOf(dir) == 0.01 || sys.env.get("SPARK_GRAFT_ORACLE_DUMP").contains("1")
 
   /** Exact linker tier over synthesized transcript mentions. Hash-verified:

@@ -22,6 +22,7 @@ object SparkEntry {
     // core relational operators
     "q_agg_pushdown" -> (Queries.aggPushdown _),
     "q_join_broadcast" -> (Queries.joinBroadcast _),
+    "q_join_shuffle" -> (Queries.joinShuffle _),
     "q_window_topk" -> (Queries.windowTopK _),
     "q_anti_join" -> (Queries.antiJoin _),
     "q_semi_join" -> (Queries.semiJoin _),
@@ -30,11 +31,13 @@ object SparkEntry {
     "q_set_ops" -> (Queries.setOps _),
     "q_rollup" -> (Queries.rollupAgg _),
     "q_event_hourly" -> (Queries.eventHourly _),
+    "q_event_quantiles" -> (Queries.eventQuantiles _),
     // text analysis / dedup over documents
     "q_doc_token_stats" -> (Queries.docTokenStats _),
     "q_doc_quality" -> (Queries.docQuality _),
     "q_doc_langid" -> (Queries.docLangId _),
     "q_doc_dedup_exact" -> (Queries.docDedupExact _),
+    "q_doc_kmv_distinct" -> (Queries.docKmvDistinct _),
     "q_doc_fingerprint" -> (Queries.docFingerprint _),
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
@@ -79,6 +82,35 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         | FROM orders) WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderkey, o_totalprice, li_sum, n_items
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000) o
+        |JOIN (SELECT l_orderkey AS o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS li_sum,
+        |       COUNT(*) AS n_items
+        |      FROM lineitem GROUP BY l_orderkey) li USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    // KMV distinct estimate: k smallest distinct md5-64 hashes per group;
+    // exact below k, else floor((k-1)/u_k) with u_k = top-53-bits/2^53 —
+    // identical arithmetic to the Catalyst aggregate
+    "q_doc_kmv_distinct" ->
+      """WITH f AS (
+        | SELECT lang, MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+        | FROM documents),
+        |hs AS (SELECT DISTINCT lang, ('0x' || SUBSTR(MD5(fp), 1, 16))::UBIGINT AS h FROM f),
+        |ranked AS (
+        | SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
+        |  COUNT(*) OVER (PARTITION BY lang) AS nd
+        | FROM hs),
+        |est AS (
+        | SELECT lang,
+        |  CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE CAST(FLOOR(63.0 / ((MAX(CASE WHEN rk = 64 THEN h END) >> 11) / 9007199254740992.0)) AS BIGINT)
+        |  END AS approx_distinct
+        | FROM ranked GROUP BY lang),
+        |cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+        |SELECT est.lang, est.approx_distinct, cnt.n
+        |FROM est JOIN cnt USING (lang) ORDER BY est.lang""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -120,6 +152,15 @@ object SparkEntry {
       """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact percentiles: QUANTILE_CONT and Spark's percentile() both
+    // interpolate at p*(n-1), so the doubles agree before quantization
+    "q_event_quantiles" ->
+      """SELECT event_type,
+        | CAST(FLOOR(QUANTILE_CONT(value, 0.5) * 10000) AS BIGINT) AS p50_bp,
+        | CAST(FLOOR(QUANTILE_CONT(value, 0.9) * 10000) AS BIGINT) AS p90_bp,
+        | CAST(FLOOR(QUANTILE_CONT(value, 0.99) * 10000) AS BIGINT) AS p99_bp,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_doc_token_stats" ->
       """SELECT doc_id, lang,
         | LEN(STRING_SPLIT_REGEX(text, '\s+')) AS n_ws_tokens,

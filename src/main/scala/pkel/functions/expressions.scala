@@ -65,10 +65,15 @@ object Functions {
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinklerSim(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `indel_ratio` / `jaro_winkler` for SQL use. */
+  /** KMV distinct-count sketch aggregate (deterministic, mergeable). */
+  def kmv_distinct(a: Column, k: Int = 64): Column =
+    Bridge.column(KmvDistinct(Bridge.expression(a), k).toAggregateExpression())
+
+  /** Register `indel_ratio` / `jaro_winkler` / `kmv_distinct` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("indel_ratio", exprs => IndelRatio(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
   }
 }

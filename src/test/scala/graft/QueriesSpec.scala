@@ -17,6 +17,13 @@ class QueriesSpec extends SparkSpec {
     assert(Queries.sfOf("/root/testdata/sf10") == 10.0)
   }
 
+  test("oracle dumps are written at the driver's verify sf only") {
+    assert(Queries.shouldDump("/root/testdata/sf0.01"))
+    assert(!Queries.shouldDump("/root/testdata/sf0.1"))
+    assert(!Queries.shouldDump("/root/testdata/sf0.001"))
+    assert(!Queries.shouldDump("/root/testdata/sf1"))
+  }
+
   test("convsForSf is monotone in sf and floored") {
     val sfs = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
     val convs = sfs.map(Queries.convsForSf(_, base = 100L))

@@ -30,6 +30,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(2000)}")
   }
 
+  test("shuffle join: sort-merge with partial aggregation below the join") {
+    val plan = planOf(graft.Queries.joinShuffle(spark, sfDir))
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n${plan.take(2000)}")
+    // lineitem pre-aggregates before the join: partial agg (map-side combine)
+    // must appear so the join shuffles one row per orderkey, not per lineitem
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"expected partial aggregation below the join:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(o_totalprice"),
+      s"orders filter not pushed to scan:\n${plan.take(2000)}")
+  }
+
+  test("kmv sketch aggregate runs as partial + final (mergeable partials)") {
+    val df = graft.Queries.docKmvDistinct(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_distinct"), s"aggregate missing from plan:\n${plan.take(1500)}")
+    // ObjectHashAggregate/SortAggregate with partial_kmv_distinct = the
+    // sketch merges across partitions instead of shipping raw values
+    assert(plan.contains("partial_kmv_distinct"),
+      s"expected partial sketch aggregation:\n${plan.take(2000)}")
+  }
+
   test("window top-k gets a group-limit pushdown") {
     val plan = planOf(graft.Queries.windowTopK(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"), s"rank limit not pushed into window:\n${plan.take(2000)}")
