@@ -108,14 +108,33 @@ object ScalingBench {
       def normMem: Double = raw / memCeil
     }
     var nPairs = 0L
-    val rounds = (1 to reps).map { _ =>
-      val (n8, p8) = measure(8, warm = false)
-      val h8 = cpuControl(8); val mm8 = memControl(8)
-      val (n32, p32) = measure(32, warm = false)
-      val h32 = cpuControl(32); val mm32 = memControl(32)
-      require(n8 == n32, "pair counts differ across parallelism")
-      nPairs = n8
-      Round(p8, p32, h8, h32, mm8, mm32)
+    // Preflight gate: an engine round costs minutes; a control sample costs
+    // seconds. When the VM's own hardware scaling is broken (< 0.8 on the
+    // pure-JVM control), skip the engine measurement — the round could only
+    // measure host contention, not the engine — and retry, up to 3x the
+    // requested rounds. At least `reps` rounds always run if no clean window
+    // ever appears, so the report is never empty.
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
+    var attempts = 0
+    val maxAttempts = reps * 3
+    while (rounds.size < reps && attempts < maxAttempts) {
+      attempts += 1
+      val budgetExhausted = maxAttempts - attempts < reps - rounds.size
+      val pre8 = cpuControl(8, 100000000L)
+      val pre32 = cpuControl(32, 100000000L)
+      val preCeil = pre32 / (4.0 * pre8)
+      if (preCeil >= 0.8 || budgetExhausted) {
+        val (n8, p8) = measure(8, warm = false)
+        val h8 = cpuControl(8); val mm8 = memControl(8)
+        val (n32, p32) = measure(32, warm = false)
+        val h32 = cpuControl(32); val mm32 = memControl(32)
+        require(n8 == n32, "pair counts differ across parallelism")
+        nPairs = n8
+        rounds += Round(p8, p32, h8, h32, mm8, mm32)
+      } else {
+        System.err.println(f"[scaling] skipping round: preflight cpu ceiling $preCeil%.3f < 0.8")
+        Thread.sleep(15000) // let the host's minute-scale contention move on
+      }
     }
     val n = nPairs
     val best = rounds.maxBy(_.normCpu)

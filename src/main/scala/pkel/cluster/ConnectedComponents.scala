@@ -63,7 +63,13 @@ object ConnectedComponents {
     * instead of dying with a lost executor. Intermediate iterations still
     * use localCheckpoint (cheap) between durable ones. */
   def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
-      checkpointDir: Option[String] = None, reliableEvery: Int = 3): DataFrame = {
+      checkpointDir: Option[String] = None, reliableEvery: Int = 3): DataFrame =
+    runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery)._1
+
+  /** `run` plus the number of star iterations executed (probes/specs use the
+    * count to audit convergence). */
+  def runWithStats(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
+      checkpointDir: Option[String] = None, reliableEvery: Int = 3): (DataFrame, Int) = {
     def materialize(df: DataFrame, it: Int): DataFrame = checkpointDir match {
       case Some(dir) if it % reliableEvery == 0 =>
         val p = s"$dir/cc_iter_$it"
@@ -91,6 +97,6 @@ object ConnectedComponents {
     val roots = edges.select(col("src").as("node"), col("dst").as("root"))
     // roots themselves
     val selfRoots = edges.select(col("dst").as("node"), col("dst").as("root")).distinct()
-    roots.union(selfRoots).groupBy("node").agg(min("root").as("root"))
+    (roots.union(selfRoots).groupBy("node").agg(min("root").as("root")), it)
   }
 }
