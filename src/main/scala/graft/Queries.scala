@@ -806,6 +806,40 @@ object Queries {
       .orderBy("label")
   }
 
+  /** The north-rule metric itself, oracle-verified: pairwise cluster
+    * precision/recall/F1 of the cascade's predictions vs gold labels,
+    * globally and restricted to identical blocking keys — computed by
+    * cluster-size contingency arithmetic (no pair materialization), and
+    * recomputed independently by the DuckDB oracle from the dumped
+    * (gold, pred, blocking_key) assignment table. */
+  def elPairwiseF1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (entries, mentions) = synthMentions(spark, dir)
+    // gold is re-derived from the synthesizer's deterministic hash (the
+    // transcript table itself carries no labels — same wiring as the
+    // pipeline's evaluation path)
+    val goldUdf = udf((convId: String, turn: Int) =>
+      pkel.transcript.TranscriptSynth.goldFor(
+        entries, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
+    val goldDf = mentions
+      .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+      .filter(col("gold").isNotNull)
+    val linked = linkedMentions(spark, dir)
+      .select(col("mention_id"), col("y_pred").as("pred"), col("blocking_key"))
+      .join(goldDf, "mention_id")
+      .select(col("mention_id"), col("gold"), col("pred"), col("blocking_key"))
+    if (shouldDump(dir))
+      linked.write.mode("overwrite").parquet(oracleDump(dir) + "/pairwise_assignments")
+    val g = pkel.eval.Metrics.pairwiseF1(linked.toDF())
+    val k = pkel.eval.Metrics.pairwiseF1AtBlockingKey(linked.toDF())
+    def bp(x: Double): Long = math.floor(x * 10000).toLong
+    Seq(
+      ("at_key", k.tp, k.predPairs, k.goldPairs, bp(k.precision), bp(k.recall), bp(k.f1)),
+      ("global", g.tp, g.predPairs, g.goldPairs, bp(g.precision), bp(g.recall), bp(g.f1)))
+      .toDF("scope", "tp", "pred_pairs", "gold_pairs", "precision_bp", "recall_bp", "f1_bp")
+      .orderBy("scope")
+  }
+
   /** End-to-end clustering: cluster size distribution. Hash-verified: the
     * large-star/small-star fixpoint is cross-checked by the DuckDB oracle,
     * which recomputes min-reachable-id components from the dumped edge list

@@ -57,7 +57,8 @@ object SparkEntry {
     "q_el_cascade" -> (Queries.elCascade _),
     "q_el_prompt_tier" -> (Queries.elPromptTier _),
     "q_el_contrastive" -> (Queries.elContrastivePairs _),
-    "q_el_clusters" -> (Queries.elClusters _))
+    "q_el_clusters" -> (Queries.elClusters _),
+    "q_el_pairwise_f1" -> (Queries.elPairwiseF1 _))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" ->
@@ -531,6 +532,35 @@ object SparkEntry {
         |      WHEN disamb_kind = 'R' THEN 'disambiguated'
         |      ELSE 'ambiguous' END AS status
         |FROM j ORDER BY mention_id""".stripMargin,
+    // the north-rule metric, recomputed independently: pairwise cluster
+    // P/R/F1 from C(n,2) contingency arithmetic over the dumped assignments
+    "q_el_pairwise_f1" ->
+      """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')),
+        |gp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS gold_pairs FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE gold <> 'Q100' GROUP BY gold) t),
+        |pp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS pred_pairs FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE pred <> 'Q100' GROUP BY pred) t),
+        |tpt AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS tp FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE gold <> 'Q100' AND pred <> 'Q100' GROUP BY gold, pred) t),
+        |kg AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS gold_pairs FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE gold <> 'Q100' GROUP BY blocking_key, gold) t),
+        |kp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS pred_pairs FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE pred <> 'Q100' GROUP BY blocking_key, pred) t),
+        |kt AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2),0) AS BIGINT) AS tp FROM
+        | (SELECT COUNT(*) AS c FROM a WHERE gold <> 'Q100' AND pred <> 'Q100' GROUP BY blocking_key, gold, pred) t),
+        |m AS (
+        | SELECT 'global' AS scope, tpt.tp, pp.pred_pairs, gp.gold_pairs FROM tpt, pp, gp
+        | UNION ALL
+        | SELECT 'at_key', kt.tp, kp.pred_pairs, kg.gold_pairs FROM kt, kp, kg),
+        |calc AS (SELECT scope, tp, pred_pairs, gold_pairs,
+        |  CASE WHEN pred_pairs > 0 THEN CAST(tp AS DOUBLE) / pred_pairs ELSE 0.0::DOUBLE END AS p,
+        |  CASE WHEN gold_pairs > 0 THEN CAST(tp AS DOUBLE) / gold_pairs ELSE 0.0::DOUBLE END AS r
+        | FROM m)
+        |SELECT scope, tp, pred_pairs, gold_pairs,
+        | CAST(FLOOR(p * 10000) AS BIGINT) AS precision_bp,
+        | CAST(FLOOR(r * 10000) AS BIGINT) AS recall_bp,
+        | CAST(FLOOR((CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0::DOUBLE END) * 10000) AS BIGINT) AS f1_bp
+        |FROM calc ORDER BY scope""".stripMargin,
     // connected components cross-check: min reachable id over the dumped
     // edge list via recursive transitive closure == the Spark large-star/
     // small-star fixpoint roots
