@@ -812,24 +812,34 @@ object Queries {
     * cluster-size contingency arithmetic (no pair materialization), and
     * recomputed independently by the DuckDB oracle from the dumped
     * (gold, pred, blocking_key) assignment table. */
+  private val assignCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** (mention_id, gold, pred, blocking_key) for the cascade's predictions:
+    * gold is re-derived from the synthesizer's deterministic hash (the
+    * transcript table itself carries no labels — same wiring as the
+    * pipeline's evaluation path). Dumped once for the eval-family oracles. */
+  private def goldAssignments(spark: SparkSession, dir: String): DataFrame =
+    assignCache.getOrElseUpdate(cacheKey(spark, dir), {
+      val (entries, mentions) = synthMentions(spark, dir)
+      val goldUdf = udf((convId: String, turn: Int) =>
+        pkel.transcript.TranscriptSynth.goldFor(
+          entries, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
+      val goldDf = mentions
+        .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+        .filter(col("gold").isNotNull)
+      val linked = linkedMentions(spark, dir)
+        .select(col("mention_id"), col("y_pred").as("pred"), col("blocking_key"))
+        .join(goldDf, "mention_id")
+        .select(col("mention_id"), col("gold"), col("pred"), col("blocking_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (shouldDump(dir))
+        linked.write.mode("overwrite").parquet(oracleDump(dir) + "/pairwise_assignments")
+      linked
+    })
+
   def elPairwiseF1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (entries, mentions) = synthMentions(spark, dir)
-    // gold is re-derived from the synthesizer's deterministic hash (the
-    // transcript table itself carries no labels — same wiring as the
-    // pipeline's evaluation path)
-    val goldUdf = udf((convId: String, turn: Int) =>
-      pkel.transcript.TranscriptSynth.goldFor(
-        entries, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
-    val goldDf = mentions
-      .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
-      .filter(col("gold").isNotNull)
-    val linked = linkedMentions(spark, dir)
-      .select(col("mention_id"), col("y_pred").as("pred"), col("blocking_key"))
-      .join(goldDf, "mention_id")
-      .select(col("mention_id"), col("gold"), col("pred"), col("blocking_key"))
-    if (shouldDump(dir))
-      linked.write.mode("overwrite").parquet(oracleDump(dir) + "/pairwise_assignments")
+    val linked = goldAssignments(spark, dir)
     val g = pkel.eval.Metrics.pairwiseF1(linked.toDF())
     val k = pkel.eval.Metrics.pairwiseF1AtBlockingKey(linked.toDF())
     def bp(x: Double): Long = math.floor(x * 10000).toLong
@@ -838,6 +848,38 @@ object Queries {
       ("global", g.tp, g.predPairs, g.goldPairs, bp(g.precision), bp(g.recall), bp(g.f1)))
       .toDF("scope", "tp", "pred_pairs", "gold_pairs", "precision_bp", "recall_bp", "f1_bp")
       .orderBy("scope")
+  }
+
+  /** Confusion-matrix counts (A6 eval family, `evaluation.py:123-172` minus
+    * plotting) of cascade predictions vs synthesizer gold — the oracle
+    * re-aggregates the dumped assignment table. */
+  def elConfusion(spark: SparkSession, dir: String): DataFrame =
+    goldAssignments(spark, dir)
+      .groupBy(col("gold").as("y_true"), col("pred").as("y_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y_true", "y_pred")
+
+  /** Per-category ontology coverage (A6, `data_exploration.py:8-101`): how
+    * many of each category's parameters appear in the gold mentions, and the
+    * mention mass per category — a broadcast dim join + two aggregates,
+    * re-run by the oracle from the dumped dim + assignments. */
+  def elCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val entries = synthMentions(spark, dir)._1
+    val dim = pkel.train.ContrastivePairs.ontologyDim(spark, entries)
+    if (shouldDump(dir))
+      dim.write.mode("overwrite").parquet(oracleDump(dir) + "/coverage_dim")
+    val catTotals = dim.groupBy("category_id")
+      .agg(countDistinct(col("parameter_id")).as("n_params_total"))
+    goldAssignments(spark, dir)
+      .filter(col("gold") =!= "Q100")
+      .join(broadcast(dim.select(col("parameter_id").as("gold"), col("category_id"))), "gold")
+      .groupBy("category_id")
+      .agg(countDistinct(col("gold")).as("n_params_seen"), count(lit(1)).as("n_mentions"))
+      .join(broadcast(catTotals), "category_id")
+      .withColumn("coverage_bp",
+        floor(lit(10000) * col("n_params_seen") / col("n_params_total")).cast("long"))
+      .select("category_id", "n_params_seen", "n_params_total", "coverage_bp", "n_mentions")
+      .orderBy("category_id")
   }
 
   /** End-to-end clustering: cluster size distribution. Hash-verified: the

@@ -58,7 +58,9 @@ object SparkEntry {
     "q_el_prompt_tier" -> (Queries.elPromptTier _),
     "q_el_contrastive" -> (Queries.elContrastivePairs _),
     "q_el_clusters" -> (Queries.elClusters _),
-    "q_el_pairwise_f1" -> (Queries.elPairwiseF1 _))
+    "q_el_pairwise_f1" -> (Queries.elPairwiseF1 _),
+    "q_el_confusion" -> (Queries.elConfusion _),
+    "q_el_coverage" -> (Queries.elCoverage _))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" ->
@@ -532,6 +534,26 @@ object SparkEntry {
         |      WHEN disamb_kind = 'R' THEN 'disambiguated'
         |      ELSE 'ambiguous' END AS status
         |FROM j ORDER BY mention_id""".stripMargin,
+    // confusion matrix of cascade predictions vs gold
+    "q_el_confusion" ->
+      """SELECT gold AS y_true, pred AS y_pred, COUNT(*) AS n
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')
+        |GROUP BY gold, pred ORDER BY y_true, y_pred""".stripMargin,
+    // per-category ontology coverage: dim join + distinct-param counts
+    "q_el_coverage" ->
+      """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')
+        |           WHERE gold <> 'Q100'),
+        |dim AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/coverage_dim/*.parquet')),
+        |tot AS (SELECT category_id, COUNT(DISTINCT parameter_id) AS n_params_total FROM dim GROUP BY category_id),
+        |seen AS (
+        | SELECT d.category_id, COUNT(DISTINCT a.gold) AS n_params_seen, COUNT(*) AS n_mentions
+        | FROM a JOIN dim d ON d.parameter_id = a.gold
+        | GROUP BY d.category_id)
+        |SELECT s.category_id, s.n_params_seen, t.n_params_total,
+        | CAST(FLOOR(10000 * s.n_params_seen / t.n_params_total) AS BIGINT) AS coverage_bp,
+        | s.n_mentions
+        |FROM seen s JOIN tot t USING (category_id)
+        |ORDER BY s.category_id""".stripMargin,
     // the north-rule metric, recomputed independently: pairwise cluster
     // P/R/F1 from C(n,2) contingency arithmetic over the dumped assignments
     "q_el_pairwise_f1" ->
