@@ -78,15 +78,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // JIT/codegen warm-up: one pass of the battery at the smallest sf before
-    // anything is timed. Identical plans reuse the same generated classes, so
-    // the timed loop measures steady-state execution, not C2 compilation —
-    // the first cold run of a heavy query measures 3-8x its warm time on
-    // this VM. (Different sfDir keys keep the per-JVM EL caches separate.)
+    // JIT/codegen warm-up before anything is timed: the first cold run of a
+    // heavy query measures 3-8x its warm time on this VM. Stateless queries
+    // warm on the TARGET sfDir (steady-state measurement: codegen for the
+    // actual plans + OS page cache); the q_el_* queries warm at the smallest
+    // sf instead, because their per-(session, dir) caches would otherwise
+    // serve the timed run from memory and measure nothing.
     val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val dir = if (name.startsWith("q_el_")) warmDir else sfDir
+        if (dir != sfDir || !name.startsWith("q_el_"))
+          try fn(spark, dir).count() catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
