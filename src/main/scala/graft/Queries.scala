@@ -279,11 +279,14 @@ object Queries {
     * (`('0x' || substr(md5(s),1,16))::UBIGINT`), turning the MinHash/SimHash
     * rows-only checks into full hash-verified ones. The hot EL pipeline keeps
     * the cheaper murmur minhash in `pkel.blocking.PairGen`. */
-  private def md5Hash64(s: String): Long =
-    java.lang.Long.parseUnsignedLong(
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 16), 16)
+  private def md5Hash64(s: String): Long = pkel.functions.Md5Hash.long64(s)
 
   private def hex16(v: Long): String = f"$v%016x"
+
+  /** 256-entry byte→2-hex-char table: `f"$b%02x"` per byte allocates a
+    * java.util.Formatter and re-parses the format string on every call —
+    * measured to dominate the frame-sampling kernel. */
+  private val byteHex: Array[String] = Array.tabulate(256)(i => f"$i%02x")
 
   /** Per-function XOR shifts for the minhash family: h_j(s) = md5_64(s) XOR
     * r_j with r_j = md5_64(j) — ONE md5 per shingle instead of one per
@@ -638,7 +641,7 @@ object Queries {
             val from = f * frameBytes
             val until = math.min(from + frameBytes, bytes.length)
             var i = from
-            while (i < until) { hexed.append(f"${bytes(i) & 0xFF}%02x"); i += 1 }
+            while (i < until) { hexed.append(byteHex(bytes(i) & 0xFF)); i += 1 }
             sampled += 1
           }
           f += 1
@@ -673,6 +676,25 @@ object Queries {
   // stopped session to a later one in the same JVM
   private def cacheKey(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "#" + dir
+
+  /** Drop every q_el_* cache held for `spark` (unpersisting their DataFrames),
+    * clear any remaining cached plans (the cascade's internal tier persists are
+    * not tracked here), and deregister streaming memory-sink tables. The bench
+    * calls this between its warm-up pass and the timed battery so dead warm-up
+    * state does not occupy storage memory during the measurements. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + "#"
+    synthCache.keySet.filter(_.startsWith(prefix)).foreach(
+      synthCache.remove(_).foreach(_._2.unpersist(blocking = false)))
+    cascadeCache.keySet.filter(_.startsWith(prefix)).foreach(
+      cascadeCache.remove(_).foreach(_.unpersist(blocking = false)))
+    assignCache.keySet.filter(_.startsWith(prefix)).foreach(
+      assignCache.remove(_).foreach(_.unpersist(blocking = false)))
+    spark.catalog.clearCache()
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("stream_dedup_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+  }
 
   private def synthMentions(spark: SparkSession, dir: String) =
     synthCache.getOrElseUpdate(cacheKey(spark, dir), {
@@ -713,9 +735,9 @@ object Queries {
 
   /** The dumps exist solely for the DuckDB oracle, which the driver runs at
     * sf0.01 — writing them at bench scale would charge oracle-only IO to the
-    * operator timings. `SPARK_GRAFT_ORACLE_DUMP=1` forces them at any sf. */
-  private[graft] def shouldDump(dir: String): Boolean =
-    sfOf(dir) == 0.01 || sys.env.get("SPARK_GRAFT_ORACLE_DUMP").contains("1")
+    * operator timings, and dumps at any other sf could never feed the oracle
+    * anyway (the oracle SQL reads the sf0.01 paths), so there is no override. */
+  private[graft] def shouldDump(dir: String): Boolean = sfOf(dir) == 0.01
 
   /** Exact linker tier over synthesized transcript mentions. Hash-verified:
     * the blocking join + candidate when-cascade is recomputed by the DuckDB
@@ -821,9 +843,12 @@ object Queries {
   private def goldAssignments(spark: SparkSession, dir: String): DataFrame =
     assignCache.getOrElseUpdate(cacheKey(spark, dir), {
       val (entries, mentions) = synthMentions(spark, dir)
+      // variant list hoisted out of the UDF: goldFor(entries, ...) would
+      // rebuild the whole-ontology flatMap on every mention row
+      val vs = pkel.transcript.TranscriptSynth.variants(entries)
       val goldUdf = udf((convId: String, turn: Int) =>
-        pkel.transcript.TranscriptSynth.goldFor(
-          entries, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
+        pkel.transcript.TranscriptSynth.goldForVariants(
+          vs, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
       val goldDf = mentions
         .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
         .filter(col("gold").isNotNull)
@@ -854,10 +879,9 @@ object Queries {
     * plotting) of cascade predictions vs synthesizer gold — the oracle
     * re-aggregates the dumped assignment table. */
   def elConfusion(spark: SparkSession, dir: String): DataFrame =
-    goldAssignments(spark, dir)
-      .groupBy(col("gold").as("y_true"), col("pred").as("y_pred"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("y_true", "y_pred")
+    pkel.eval.Metrics.confusionCounts(
+      goldAssignments(spark, dir)
+        .select(col("gold").as("y_true"), col("pred").as("y_pred")))
 
   /** Per-category ontology coverage (A6, `data_exploration.py:8-101`): how
     * many of each category's parameters appear in the gold mentions, and the

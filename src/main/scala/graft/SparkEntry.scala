@@ -100,7 +100,8 @@ object SparkEntry {
       """WITH f AS (
         | SELECT lang, MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS fp
         | FROM documents),
-        |hs AS (SELECT DISTINCT lang, ('0x' || SUBSTR(MD5(fp), 1, 16))::UBIGINT AS h FROM f),
+        |hs AS (SELECT DISTINCT lang, ('0x' || SUBSTR(MD5(fp), 1, 16))::UBIGINT AS h
+        |       FROM f WHERE fp IS NOT NULL),
         |ranked AS (
         | SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
         |  COUNT(*) OVER (PARTITION BY lang) AS nd
@@ -112,8 +113,10 @@ object SparkEntry {
         |  END AS approx_distinct
         | FROM ranked GROUP BY lang),
         |cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
-        |SELECT est.lang, est.approx_distinct, cnt.n
-        |FROM est JOIN cnt USING (lang) ORDER BY est.lang""".stripMargin,
+        |-- drive from cnt: a lang whose docs all hash to NULL still groups on
+        |-- the Spark side (empty KMV buffer evaluates to 0)
+        |SELECT cnt.lang, COALESCE(est.approx_distinct, 0) AS approx_distinct, cnt.n
+        |FROM cnt LEFT JOIN est USING (lang) ORDER BY cnt.lang""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -270,7 +273,9 @@ object SparkEntry {
         |FROM documents GROUP BY MD5(text) ORDER BY canonical_doc""".stripMargin,
     // simhash: per-token md5-derived 64-bit hash, every occurrence votes ±1
     // per bit; signature assembled nibble-wise (DuckDB cannot shift into bit
-    // 63 of a UBIGINT) into the same 16-hex string the Spark side emits
+    // 63 of a UBIGINT) into the same 16-hex string the Spark side emits.
+    // Final LEFT JOIN from documents: a NULL-text / zero-token doc produces
+    // no toks rows but the Spark UDF still emits its all-zero signature
     "q_doc_simhash" ->
       """WITH toks AS (
         | SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
@@ -287,7 +292,9 @@ object SparkEntry {
         |hexes AS (
         | SELECT doc_id, STRING_AGG(SUBSTR('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS simhash_hex
         | FROM nibbles GROUP BY doc_id)
-        |SELECT doc_id, simhash_hex FROM hexes ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(hexes.simhash_hex, '0000000000000000') AS simhash_hex
+        |FROM documents d LEFT JOIN hexes ON hexes.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // minhash: ONE md5 per shingle, 32 XOR-shifted hash functions
     // (h_j = md5_64(shingle) XOR md5_64(j)), 8 bands of 4, band bucket =
     // md5 of the comma-joined 16-hex minhashes

@@ -47,8 +47,9 @@ object PipelineApp {
         (spark.read.parquet(path), None)
       case None =>
         val t = TranscriptSynth.generate(spark, entries, nConvs, seed = seed)
+        val vs = TranscriptSynth.variants(entries)
         val goldUdf = udf((convId: String, turn: Int) =>
-          TranscriptSynth.goldFor(entries, seed, convId.stripPrefix("c").toLong, turn).orNull)
+          TranscriptSynth.goldForVariants(vs, seed, convId.stripPrefix("c").toLong, turn).orNull)
         val g = Pipeline.extractMentions(t)
           .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
           .filter(col("gold").isNotNull)

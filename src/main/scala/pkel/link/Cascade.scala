@@ -110,7 +110,14 @@ object Cascade {
         val biencLinked = biencPersisted.filter(col("status") === "linked")
         val residue4 = biencPersisted.filter(col("status") === "unlinked")
           .drop("pred_ids", "pred_scores", "y_pred", "status", "tier", "score")
-        val prompted = PromptLinker.link(spark, residue4, entries, scorer)
+        // persist before the eager sink write: without it the sink action
+        // evaluates the prompt tier once and the final union recomputes it
+        // from scratch (and a non-deterministic scorer could diverge between
+        // the dumped tier and the returned union)
+        val prompted = if (cfg.tierSink.isDefined)
+          PromptLinker.link(spark, residue4, entries, scorer)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else PromptLinker.link(spark, residue4, entries, scorer)
         sink("prompt", prompted)
         biencLinked.select(predCols.map(col): _*)
           .unionByName(prompted.select(predCols.map(col): _*))

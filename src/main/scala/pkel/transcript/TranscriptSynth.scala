@@ -143,8 +143,14 @@ object TranscriptSynth {
     * gold entity id from the same hash functions. Deterministic companion of
     * `generate` (not used by the pipeline — evaluation only). */
   def goldFor(entries: Seq[OntologyEntry], seed: Long, conv: Long, turn: Int,
+      mentionRate: Double = 0.7, nilRate: Double = 0.1): Option[String] =
+    goldForVariants(variants(entries), seed, conv, turn, mentionRate, nilRate)
+
+  /** Same as `goldFor` over a precomputed variant list — per-row callers
+    * (gold UDFs) must hoist `variants(entries)` into the closure instead of
+    * rebuilding the whole-ontology flatMap on every row. */
+  def goldForVariants(vs: IndexedSeq[Variant], seed: Long, conv: Long, turn: Int,
       mentionRate: Double = 0.7, nilRate: Double = 0.1): Option[String] = {
-    val vs = variants(entries)
     def h(salt: Long): Long = {
       var z = seed ^ (conv * 0x9E3779B97F4A7C15L) ^ (turn * 0xBF58476D1CE4E5B9L) ^ (salt * 0x94D049BB133111EBL)
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

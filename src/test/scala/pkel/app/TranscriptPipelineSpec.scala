@@ -15,9 +15,9 @@ class TranscriptPipelineSpec extends SparkSpec {
   lazy val entries = Ontology.load()
 
   private def goldDf(transcripts: org.apache.spark.sql.DataFrame, seed: Long) = {
-    val bEntries = entries
+    val vs = TranscriptSynth.variants(entries)
     val goldUdf = udf((convId: String, turn: Int) =>
-      TranscriptSynth.goldFor(bEntries, seed, convId.stripPrefix("c").toLong, turn).orNull)
+      TranscriptSynth.goldForVariants(vs, seed, convId.stripPrefix("c").toLong, turn).orNull)
     Pipeline.extractMentions(transcripts)
       .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
       .filter(col("gold").isNotNull)

@@ -11,8 +11,9 @@ object TypoDrive {
     val seed = 42L
     val transcripts = TranscriptSynth.generate(spark, entries, 400, seed = seed)
     val mentions = pkel.app.Pipeline.extractMentions(transcripts)
+    val vs = TranscriptSynth.variants(entries)
     val goldUdf = udf((convId: String, turn: Int) =>
-      TranscriptSynth.goldFor(entries, seed, convId.stripPrefix("c").toLong, turn).orNull)
+      TranscriptSynth.goldForVariants(vs, seed, convId.stripPrefix("c").toLong, turn).orNull)
     val withGold = mentions.withColumn("gold", goldUdf(col("conv_id"), col("turn_idx")))
     val preds = pkel.link.Cascade.run(spark, withGold.drop("ordering_ok"), entries)
     val j = preds.join(withGold.select("mention_id", "gold", "text", "span_start", "span_end"), "mention_id")
