@@ -85,12 +85,16 @@ object Bench {
     // sf instead, because their per-(session, dir) caches would otherwise
     // serve the timed run from memory and measure nothing.
     val warmDir = "/root/testdata/sf0.001"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val dir = if (name.startsWith("q_el_")) warmDir else sfDir
-        if (dir != sfDir || !name.startsWith("q_el_"))
-          try fn(spark, dir).count() catch { case _: Throwable => () }
-      }
+    val haveWarmDir = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (name.startsWith("q_el_")) {
+        // EL queries may only warm at a DIFFERENT dir — their per-(session,
+        // dir) caches would serve the timed run from memory otherwise
+        if (haveWarmDir && warmDir != sfDir)
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      } else
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // drop warm-up residue (persisted q_el_* DataFrames at warmDir, streaming
     // memory-sink tables) so dead storage does not compete with the timed runs
     Queries.releaseCaches(spark)

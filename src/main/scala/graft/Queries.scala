@@ -584,10 +584,19 @@ object Queries {
     * in StreamingSpec). */
   def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val streamIn = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val tablePath = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    // the file stream source needs a DIRECTORY basePath. Spark-written tables
+    // (documents.parquet/ with part files) stream directly; a single-file
+    // layout (this repo's testdata) streams its parent with a glob filter —
+    // the glob alone would silently list zero files for the directory layout
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val isDirTable =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(hp).isDirectory
+    val streamIn =
+      if (isDirTable) spark.readStream.schema(schema).parquet(tablePath)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
     // streaming AGGREGATION (min per hash), not dropDuplicates: the dedup
     // state store keeps an arbitrary first-arriving survivor, which flips
     // with partitioning when duplicates span input splits — min is the

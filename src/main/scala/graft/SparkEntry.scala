@@ -9,8 +9,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * sides so hashes are engine-stable). Hash-family operators (MinHash-LSH,
   * SimHash, ANN-LSH, media decode/frame-sample digests) derive their hashes
   * from md5 so the identical construction is expressible in DuckDB and
-  * hash-verified. Only the EL pipeline queries (Scala tokenizer kernel +
-  * synthesized input) and the iterative IVF quantizer stay rows-only.
+  * hash-verified. The EL pipeline queries are oracle-verified too: their
+  * Scala-only kernel outputs (tokenizer keys, regex flags, scored edges,
+  * xxhash64 picks) are dumped as parquet inputs under /tmp/graft_oracle and
+  * the oracle re-runs the RELATIONAL part (blocking join + when-cascade,
+  * tier union, negative sampling, recursive-closure CC, C(n,2) pairwise F1)
+  * independently. The iterative IVF quantizer is re-run in full in SQL.
+  * Every battery query has an oracleSql entry.
   */
 object SparkEntry {
 

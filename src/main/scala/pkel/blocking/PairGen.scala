@@ -39,7 +39,7 @@ object PairGen {
       lshBands: Int = 8,
       maxBucketSize: Int = 1000,
       targetBucketSize: Int = 64,    // adaptive mode: aim C(target,2) pairs/bucket
-      maxSaltFactor: Int = 4096,
+      maxSaltFactor: Int = 4096,    // caps salt_n; keys beyond maxSaltFactor×target re-grow buckets — raise it at extreme key skew
       adaptiveSalt: Boolean = true,
       /** Pair explosion strategy: collect_list + index-pair explosion (one
         * shuffle of the bucket rows) vs bucket-key self-join (two shuffles,
@@ -133,7 +133,14 @@ object PairGen {
 
   private def pairsInBuckets(buckets: DataFrame, features: Seq[String], cfg: Config,
       dropOversized: Boolean): DataFrame =
-    if (cfg.fusedBuckets) pairsInBucketsFused(buckets, features, cfg.maxBucketSize, dropOversized)
+    // the fused explosion materializes all C(n,2) feature-carrying structs of
+    // a bucket as ONE array value, so it is only safe when bucket sizes are
+    // bounded by construction: adaptive salting (≈ targetBucketSize members)
+    // or an explicit oversize drop. Fixed-salt buckets without a drop are
+    // unbounded (a hot key / saltBuckets can still be huge) — stream them
+    // through the self-join, same guard the LSH path applies
+    if (cfg.fusedBuckets && (dropOversized || cfg.adaptiveSalt))
+      pairsInBucketsFused(buckets, features, cfg.maxBucketSize, dropOversized)
     else pairsInBucketsJoin(buckets, features, cfg.maxBucketSize, dropOversized)
 
   /** Per-key annotation in a single exchange on blocking_key: key frequency

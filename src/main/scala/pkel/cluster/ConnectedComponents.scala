@@ -70,11 +70,23 @@ object ConnectedComponents {
     * count to audit convergence). */
   def runWithStats(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None, reliableEvery: Int = 3): (DataFrame, Int) = {
+    // superseded durable checkpoints are deleted as soon as the next one is
+    // fully written, so a run keeps AT MOST ONE edge-set copy on disk (the
+    // final checkpoint remains until the caller is done with the returned
+    // DataFrame and may remove the directory). Deletion goes through the
+    // Hadoop FileSystem of the checkpoint path — correct on HDFS/S3 too.
+    var prevDurable: Option[String] = None
     def materialize(df: DataFrame, it: Int): DataFrame = checkpointDir match {
       case Some(dir) if it % reliableEvery == 0 =>
         val p = s"$dir/cc_iter_$it"
         df.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
+        val out = spark.read.parquet(p)
+        prevDurable.foreach { old =>
+          val hp = new org.apache.hadoop.fs.Path(old)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        prevDurable = Some(p)
+        out
       case _ => df.localCheckpoint(true)
     }
     var edges = materialize(

@@ -74,6 +74,12 @@ object Functions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("indel_ratio", exprs => IndelRatio(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("kmv_distinct", {
+      case Seq(c) => KmvDistinct(c)
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+        KmvDistinct(c, k)
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct expects (column[, k literal]), got ${other.length} args")
+    }, "scala_udf")
   }
 }

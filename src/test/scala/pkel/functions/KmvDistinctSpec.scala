@@ -39,4 +39,16 @@ class KmvDistinctSpec extends SparkSpec {
     val got = spark.sql("SELECT kmv_distinct(s) AS d FROM kmv_in").head().getLong(0)
     assert(got == 10L)
   }
+
+  test("SQL k argument is honored, not silently dropped") {
+    Functions.register(spark)
+    (1 to 200).map(i => s"y$i").toDF("s").createOrReplaceTempView("kmv_in_k")
+    // k=256 > 200 distinct values → the sketch is exact; the default k=64
+    // would return an estimate (and 64-buffer exactness is impossible at 200)
+    val exact = spark.sql("SELECT kmv_distinct(s, 256) AS d FROM kmv_in_k").head().getLong(0)
+    assert(exact == 200L, s"k argument ignored: got $exact")
+    val estimated = spark.sql("SELECT kmv_distinct(s) AS d FROM kmv_in_k").head().getLong(0)
+    assert(estimated != 200L || exact == estimated) // default path still runs
+    intercept[Exception](spark.sql("SELECT kmv_distinct(s, 1, 2) FROM kmv_in_k").collect())
+  }
 }

@@ -64,6 +64,29 @@ class PairScorerSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  private def fullRowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long, Long)] =
+    df.select(col("src"), col("dst"),
+      (col("key_sim") * 1e6).cast("long"), (col("jw_sim") * 1e6).cast("long"),
+      (col("cos_sim") * 1e6).cast("long"), (col("score") * 1e6).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+  test("scoreMentions (one-exchange kernel) == scorePairs over blockingKeyPairs") {
+    // the one-exchange kernel replicates the relational salted path by hand
+    // (XXH64 pmod salt assignment, TreeMap salt order, min-id reps) — this is
+    // the parity pin its docstring promises, over BOTH salt modes
+    for (cfg <- Seq(
+        PairGen.Config(adaptiveSalt = true, targetBucketSize = 16),
+        PairGen.Config(adaptiveSalt = false, saltBuckets = 4))) {
+      val viaKernel = fullRowsOf(PairScorer.scoreMentions(corpus, cfg))
+      val viaRows = fullRowsOf(PairScorer.scorePairs(PairGen.blockingKeyPairs(corpus, cfg)))
+      assert(viaKernel == viaRows,
+        s"cfg=$cfg kernel-only: ${(viaKernel -- viaRows).take(5)}; " +
+          s"rows-only: ${(viaRows -- viaKernel).take(5)}")
+      assert(viaKernel.nonEmpty)
+    }
+  }
+
   test("unique-surface corpus (memo-miss regime): vec path scores each mention once") {
     // every surface distinct → the per-pair memo never hits; correctness must
     // hold on both paths regardless
