@@ -48,8 +48,11 @@ class ConnectedComponentsSpec extends SparkSpec {
       checkpointDir = Some(dir), reliableEvery = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(durable == runCc(edges))
-    // durable state actually landed on disk
-    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cc_iter_")))
+    // durable state actually landed on disk, and superseded checkpoints were
+    // deleted as the run advanced — at most ONE edge-set copy remains
+    val checkpoints = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cc_iter_"))
+    assert(checkpoints.length == 1,
+      s"expected exactly one surviving checkpoint, got ${checkpoints.map(_.getName).toSeq}")
   }
 
   test("random graphs match union-find oracle") {
