@@ -662,6 +662,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Resize plumbing over opaque media payloads: deterministic 1-D
+    * nearest-neighbor downsample of the byte stream to a FIXED-width
+    * thumbnail (`thumbBytes`), the defining property of a resize stage —
+    * constant output size regardless of input size. Source index for output
+    * position i is floor(i·n/thumbBytes) (integer arithmetic, exactly
+    * reproducible in SQL); the thumbnail is emitted as an md5 over its
+    * lowercase hex (scalar, comparator-safe). The pixel decode itself is the
+    * stub (bytes stand in for pixels); the Spark pattern — binary in, fixed
+    * schema out, pure row-local compute that scales embarrassingly — is
+    * real. Hash-verified. */
+  def mmThumbnail(spark: SparkSession, dir: String, thumbBytes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("thumb_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = bytes.length
+        val hexed = new java.lang.StringBuilder(thumbBytes * 2)
+        if (n > 0) {
+          var i = 0
+          while (i < thumbBytes) {
+            val src = (i.toLong * n / thumbBytes).toInt
+            hexed.append(byteHex(bytes(src) & 0xFF))
+            i += 1
+          }
+        }
+        org.apache.spark.sql.Row(r.getLong(0), n,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexed.toString))
+      }
+    }(enc)
+      .orderBy("doc_id")
+  }
+
   // ---- entity-linking pipeline exposure (rows-only; deterministic) -------
 
   /** Numeric scale factor parsed from a testdata dir name (".../sf0.01");

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_mm_meta" -> (Queries.mmMeta _),
     "q_mm_decode_stub" -> (Queries.mmDecodeStub _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => Queries.mmFrameSample(s, d)),
+    "q_mm_thumbnail" -> ((s: SparkSession, d: String) => Queries.mmThumbnail(s, d)),
     // entity-linking pipeline (deterministic synthetic transcripts)
     "q_el_exact" -> (Queries.elExact _),
     "q_el_cascade" -> (Queries.elCascade _),
@@ -612,6 +613,20 @@ object SparkEntry {
         |sizes AS (SELECT root, COUNT(*) AS cluster_size FROM roots GROUP BY root)
         |SELECT cluster_size, COUNT(*) AS n_clusters
         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // fixed-width thumbnail (1-D nearest-neighbor resize): output byte i
+    // sources input byte floor(i*n/32); hex pair g of the payload starts at
+    // character 2*src+1 of HEX(payload)
+    "q_mm_thumbnail" ->
+      """WITH h AS (
+        | SELECT doc_id, LOWER(HEX(ENCODE(text))) AS hx,
+        |  OCTET_LENGTH(ENCODE(text)) AS n_bytes
+        | FROM documents)
+        |SELECT doc_id, n_bytes,
+        | MD5(CASE WHEN n_bytes = 0 THEN ''
+        |   ELSE ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(0, 31),
+        |     i -> SUBSTR(hx, 2 * CAST((i * n_bytes) // 32 AS INT) + 1, 2)), '')
+        |   END) AS thumb_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
     // frame sampling: every 4th 64-byte frame == every 4th 128-hex-char chunk
     // of HEX(payload); digest over the concatenated lowercase hex
     "q_mm_frame_sample" ->
