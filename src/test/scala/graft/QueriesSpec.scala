@@ -60,4 +60,17 @@ class QueriesSpec extends SparkSpec {
     val n2 = Queries.streamDedupExact(spark, dir).count()
     assert(n1 > 0 && n1 == n2)
   }
+
+  test("releaseCaches leaves EL queries re-runnable with identical results") {
+    // the bench calls releaseCaches between its warm pass and the timed
+    // battery; a released-but-still-referenced DataFrame (or a stale cache
+    // entry surviving the release) would break or skew the timed run
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val before = Queries.elCascade(spark, dir).collect().map(_.toSeq).toSet
+    Queries.releaseCaches(spark)
+    assert(spark.sharedState.cacheManager.isEmpty, "cached plans must be dropped")
+    val after = Queries.elCascade(spark, dir).collect().map(_.toSeq).toSet
+    assert(after == before, "post-release rerun must reproduce the same output")
+  }
 }
