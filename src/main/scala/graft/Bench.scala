@@ -77,7 +77,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
+    // never write DuckDB-oracle dumps from the bench: a bench run pointed at
+    // the verify sf (0.01) would otherwise charge oracle-only IO to timings
+    Queries.setDumpEnabled(false)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    /** Real-path normalization so an alias of the target dir (trailing slash,
+      * symlink, relative spelling) cannot slip q_el_* warm-up onto the timed
+      * dir and let the per-(session, dir) caches serve the measurement. */
+    def realPath(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Exception => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString }
     // JIT/codegen warm-up before anything is timed: the first cold run of a
     // heavy query measures 3-8x its warm time on this VM. Stateless queries
     // warm on the TARGET sfDir (steady-state measurement: codegen for the
@@ -90,7 +99,7 @@ object Bench {
       if (name.startsWith("q_el_")) {
         // EL queries may only warm at a DIFFERENT dir — their per-(session,
         // dir) caches would serve the timed run from memory otherwise
-        if (haveWarmDir && warmDir != sfDir)
+        if (haveWarmDir && realPath(warmDir) != realPath(sfDir))
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       } else
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

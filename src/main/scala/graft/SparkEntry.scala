@@ -115,6 +115,9 @@ object SparkEntry {
         |est AS (
         | SELECT lang,
         |  CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       -- u == 0 guard mirrors KmvDistinct.eval (returns buffer size,
+        |       -- = k here): a zero top-53-bit k-th minimum would divide by 0
+        |       WHEN (MAX(CASE WHEN rk = 64 THEN h END) >> 11) = 0 THEN 64
         |       ELSE CAST(FLOOR(63.0 / ((MAX(CASE WHEN rk = 64 THEN h END) >> 11) / 9007199254740992.0)) AS BIGINT)
         |  END AS approx_distinct
         | FROM ranked GROUP BY lang),

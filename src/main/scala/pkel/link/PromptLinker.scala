@@ -152,13 +152,29 @@ object PromptLinker {
       (e.parameterName +: e.parameterSynonyms.filter(_.nonEmpty))
         .map(s => (s.toLowerCase, e.parameterName))
     }
-    def complete(systemPrompt: String, userPrompt: String): String = {
-      val mention = {
-        val m = "(?s)Mention:\\n(.*?)\\n---".r.findFirstMatchIn(userPrompt)
-        m.map(_.group(1).toLowerCase).getOrElse("")
-      }
+    // Mention surfaces repeat massively across residue rows (a bounded
+    // vocabulary of ontology variants + typos + decoys), so the linear
+    // surface scan runs once per DISTINCT mention, not once per row — same
+    // answers, a fraction of the round-2 cost (this fake was the single
+    // largest battery line item). @transient: the memo restarts empty in
+    // each deserialized task instance instead of shipping with the closure.
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def scan(mention: String): String =
       surfaces.collectFirst { case (s, name) if mention.contains(s) => s"{param: $name}" }
         .getOrElse("{param: NIL}")
+    def complete(systemPrompt: String, userPrompt: String): String = {
+      // indexOf extraction of the Mention block: the previous regex scanned
+      // the full multi-KB prompt (ontology block included) on every row
+      val start = userPrompt.indexOf("Mention:\n")
+      val mention =
+        if (start < 0) ""
+        else {
+          val from = start + 9
+          val end = userPrompt.indexOf("\n---", from)
+          if (end < 0) "" else userPrompt.substring(from, end).toLowerCase
+        }
+      memo.computeIfAbsent(mention, m => scan(m))
     }
   }
 }
