@@ -925,11 +925,13 @@ object Queries {
       // variant list hoisted out of the UDF: goldFor(entries, ...) would
       // rebuild the whole-ontology flatMap on every mention row
       val vs = pkel.transcript.TranscriptSynth.variants(entries)
-      val goldUdf = udf((convId: String, turn: Int) =>
-        pkel.transcript.TranscriptSynth.goldForVariants(
-          vs, seed = 42L, convId.stripPrefix("c").toLong, turn).orNull)
+      val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
+        pkel.transcript.TranscriptSynth.goldSpansForVariants(
+          vs, seed = 42L, convId.stripPrefix("c").toLong, turn)
+          .lift(spanIdx).orNull)
       val goldDf = mentions
-        .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+        .select(col("mention_id"),
+          goldUdf(col("conv_id"), col("turn_idx"), col("span_idx")).as("gold"))
         .filter(col("gold").isNotNull)
       val linked = linkedMentions(spark, dir)
         .select(col("mention_id"), col("y_pred").as("pred"), col("blocking_key"))

@@ -69,23 +69,47 @@ object Pipeline {
     -(digits.toLong + 1L)
   }
 
-  /** Extract mentions from `«mention»` delimiters in transcript turns.
-    * Emits the canonical mention schema used by the cascade. The conversation
-    * window (partitionBy conv_id, orderBy turn_idx) both validates the stable
-    * turn ordering invariant and is where turn-level context features would
-    * attach (lag/lead). */
+  /** All non-empty `«…»` spans of a turn as 0-based (start-after-«,
+    * end-at-») character offsets, in text order. A single pass over the
+    * string — the reference's data model allows multiple spans per sentence
+    * (`data/sentences/test.jsonl` `spans` array), so the extractor must emit
+    * every span, not just the first. */
+  private val spanOffsetsUdf = udf((text: String) => {
+    val t = Option(text).getOrElse("")
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i >= 0 && i < t.length) {
+      val s = t.indexOf('«', i)
+      if (s < 0) i = -1
+      else {
+        val e = t.indexOf('»', s + 1)
+        if (e < 0) i = -1
+        else { if (e > s + 1) out += ((s + 1, e)); i = e + 1 }
+      }
+    }
+    out.result()
+  })
+
+  /** Extract mentions from `«mention»` delimiters in transcript turns — ALL
+    * spans per turn (posexplode), span-indexed. Emits the canonical mention
+    * schema used by the cascade; `mention_id` is a 63-bit hash of the
+    * (conv_id, turn_idx, span_idx) triple (see `auditMentionIds` for the
+    * collision guard). The conversation window (partitionBy conv_id, orderBy
+    * turn_idx) both validates the stable turn ordering invariant and is where
+    * turn-level context features would attach (lag/lead). */
   def extractMentions(transcripts: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     transcripts
       .withColumn("rn", row_number().over(w) - 1)
       .withColumn("ordering_ok", col("rn") === col("turn_idx"))
       .filter(col("text").contains("«"))
-      .withColumn("span_start", (instr(col("text"), "«")).cast("int")) // 1-based instr ⇒ 0-based char after «
-      .withColumn("span_end", instr(col("text"), "»").cast("int") - 1)
-      .filter(col("span_end") > col("span_start"))
-      .withColumn("mention_id", xxhash64(col("conv_id"), col("turn_idx")).bitwiseAND(lit(Long.MaxValue)))
+      .select(col("*"), posexplode(spanOffsetsUdf(col("text"))).as(Seq("span_idx", "span")))
+      .withColumn("span_start", col("span._1"))
+      .withColumn("span_end", col("span._2"))
+      .withColumn("mention_id",
+        xxhash64(col("conv_id"), col("turn_idx"), col("span_idx")).bitwiseAND(lit(Long.MaxValue)))
       .select(
-        col("mention_id"), col("conv_id"), col("turn_idx"), col("ts"),
+        col("mention_id"), col("conv_id"), col("turn_idx"), col("span_idx"), col("ts"),
         col("text"), col("span_start"), col("span_end"),
         lit(false).as("is_table"),
         lit("").as("table_html"), lit("").as("caption"), lit("").as("footer"),
@@ -94,16 +118,34 @@ object Pipeline {
         lit("").as("label"), col("ordering_ok"))
   }
 
+  /** Fail fast on mention-id hash collisions: 63-bit ids are unique in
+    * practice, but at ~10^10 mentions the birthday bound admits a handful of
+    * collisions, and a single collision silently merges two clusters in the
+    * CC stage. One cheap aggregate (distinct ids vs distinct source triples)
+    * turns that silent corruption into a loud stage failure. */
+  def auditMentionIds(mentions: DataFrame): Unit = {
+    val r = mentions.agg(
+      countDistinct(col("mention_id")).as("ids"),
+      countDistinct(col("conv_id"), col("turn_idx"), col("span_idx")).as("triples")).head()
+    val (ids, triples) = (r.getLong(0), r.getLong(1))
+    require(ids == triples,
+      s"mention_id hash collision: $ids distinct ids for $triples distinct " +
+        "(conv_id, turn_idx, span_idx) triples — rerun with a salted id derivation")
+  }
+
   /** Run the full pipeline. `gold` (mention_id, gold) is optional — when
     * present the summary carries pairwise F1 vs gold. */
   def run(spark: SparkSession, transcripts: DataFrame, entries: Seq[OntologyEntry],
       cfg: Config, io: TableIO, gold: Option[DataFrame] = None): (DataFrame, Summary) = {
     val t0 = System.nanoTime()
 
-    // stage 1: mention extraction under stable conversation ordering
+    // stage 1: mention extraction under stable conversation ordering; the id
+    // audit fails the stage on a (birthday-bound) hash collision instead of
+    // letting it silently merge clusters downstream
     val mentions = io.readOrCompute("mentions", fp(cfg, "m")) {
       extractMentions(transcripts)
     }
+    auditMentionIds(mentions)
 
     // stage 2: normalization + blocking keys
     val keyed = io.readOrCompute("keyed", fp(cfg, "k")) {

@@ -46,12 +46,16 @@ object PipelineApp {
       case Some(path) =>
         (spark.read.parquet(path), None)
       case None =>
-        val t = TranscriptSynth.generate(spark, entries, nConvs, seed = seed)
+        val multiRate = opts.getOrElse("multi-rate", "0.0").toDouble
+        val t = TranscriptSynth.generate(spark, entries, nConvs, seed = seed,
+          multiRate = multiRate)
         val vs = TranscriptSynth.variants(entries)
-        val goldUdf = udf((convId: String, turn: Int) =>
-          TranscriptSynth.goldForVariants(vs, seed, convId.stripPrefix("c").toLong, turn).orNull)
+        val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
+          TranscriptSynth.goldSpansForVariants(vs, seed, convId.stripPrefix("c").toLong,
+            turn, multiRate = multiRate).lift(spanIdx).orNull)
         val g = Pipeline.extractMentions(t)
-          .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+          .select(col("mention_id"),
+            goldUdf(col("conv_id"), col("turn_idx"), col("span_idx")).as("gold"))
           .filter(col("gold").isNotNull)
         (t, Some(g))
     }

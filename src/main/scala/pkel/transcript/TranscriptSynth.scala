@@ -19,7 +19,7 @@ import pkel.model.OntologyEntry
 object TranscriptSynth {
 
   /** Bump when generation semantics change (bench caches key on this). */
-  val version = 2
+  val version = 3
 
   /** One selectable surface form. `context` is appended after the mention so
     * ambiguous families (km, t1/2) satisfy their disambiguation regexes. */
@@ -76,14 +76,33 @@ object TranscriptSynth {
     }
   }
 
+  /** Pick the first variant at-or-after `idx` (cyclically) with NO
+    * disambiguation context — used for the second mention of a multi-mention
+    * turn, so the two mentions' context snippets cannot cross-trigger the
+    * ambiguous-family regexes (the reference's context windows are
+    * sentence-level; a turn with two ambiguous mentions would be genuinely
+    * ambiguous, which is a property of the data, not of the engine). */
+  def plainVariant(vs: IndexedSeq[Variant], idx: Int): Variant = {
+    var i = idx
+    var n = 0
+    while (vs(i % vs.length).context.nonEmpty && n < vs.length) { i += 1; n += 1 }
+    vs(i % vs.length)
+  }
+
   /** Generate `nConvs` conversations × `turnsPerConv` turns. `mentionRate` of
     * turns carry one mention (entity chosen by hash; `nilRate` of mention
     * turns carry a NIL decoy instead; `typoRate` of entity mentions get a
     * deterministic one-char typo — the near-duplicate workload for the fuzzy
-    * tier and the LSH pair generator). */
+    * tier and the LSH pair generator). `multiRate` of mention turns carry a
+    * SECOND `«…»` span (always a context-free entity variant, never NIL) —
+    * the reference's data model allows multiple spans per sentence
+    * (`data/sentences/test.jsonl` `spans` array), and the extractor must not
+    * silently drop them. The default 0.0 keeps pre-multi-span corpora
+    * byte-identical. */
   def generate(spark: SparkSession, entries: Seq[OntologyEntry], nConvs: Long,
       turnsPerConv: Int = 8, seed: Long = 42L, mentionRate: Double = 0.7,
-      nilRate: Double = 0.1, typoRate: Double = 0.03): DataFrame = {
+      nilRate: Double = 0.1, typoRate: Double = 0.03,
+      multiRate: Double = 0.0): DataFrame = {
     val vs = variants(entries)
     val bVs = spark.sparkContext.broadcast(vs)
     val bNil = spark.sparkContext.broadcast(NilDecoys.toIndexedSeq)
@@ -95,6 +114,7 @@ object TranscriptSynth {
     val mentionThreshold = (mentionRate * (1L << 32)).toLong
     val nilThreshold = (nilRate * (1L << 32)).toLong
     val typoThreshold = (typoRate * (1L << 32)).toLong
+    val multiThreshold = (multiRate * (1L << 32)).toLong
 
     spark.range(nConvs * turnsPerConv)
       .select(
@@ -131,7 +151,13 @@ object TranscriptSynth {
               val pre = preL(pick(7, preL.length))
               val suf = sufL(pick(8, sufL.length))
               val ctxPart = if (ctx.nonEmpty) s" $ctx" else ""
-              s"$pre «$surface»$ctxPart $suf"
+              val second =
+                if ((h(11) >>> 32) < multiThreshold) {
+                  val v2 = plainVariant(vsL, pick(12, vsL.length))
+                  val s2 = if ((h(13) >>> 32) < typoThreshold) typo(v2.surface, h(14)) else v2.surface
+                  s" and the «$s2» estimate"
+                } else ""
+              s"$pre «$surface»$ctxPart$second $suf"
             }
           val ts = new java.sql.Timestamp(1700000000000L + conv * 3600000L + turn * 60000L)
           (convId, turn, role, text, tool, ts)
@@ -162,5 +188,30 @@ object TranscriptSynth {
     if ((h(1) >>> 32) >= mentionThreshold) None
     else if ((h(3) >>> 32) < nilThreshold) Some("Q100")
     else Some(vs(((h(6) >>> 1) % vs.length).toInt).paramId)
+  }
+
+  /** Span-indexed gold: one entry per embedded `«…»` span of the turn, in
+    * span order (element 0 = `goldForVariants`; element 1 exists only for
+    * multi-mention turns and is always a context-free entity). Mention ids
+    * derive from (conv_id, turn_idx, span_idx), so evaluation joins gold by
+    * the same triple. */
+  def goldSpansForVariants(vs: IndexedSeq[Variant], seed: Long, conv: Long, turn: Int,
+      mentionRate: Double = 0.7, nilRate: Double = 0.1,
+      multiRate: Double = 0.0): Seq[String] = {
+    def h(salt: Long): Long = {
+      var z = seed ^ (conv * 0x9E3779B97F4A7C15L) ^ (turn * 0xBF58476D1CE4E5B9L) ^ (salt * 0x94D049BB133111EBL)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    goldForVariants(vs, seed, conv, turn, mentionRate, nilRate) match {
+      case None => Seq.empty
+      case Some(primary) =>
+        val multiThreshold = (multiRate * (1L << 32)).toLong
+        if ((h(11) >>> 32) < multiThreshold) {
+          val idx = ((h(12) >>> 1) % vs.length).toInt
+          Seq(primary, plainVariant(vs, idx).paramId)
+        } else Seq(primary)
+    }
   }
 }

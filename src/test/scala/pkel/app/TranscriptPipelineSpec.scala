@@ -14,12 +14,15 @@ class TranscriptPipelineSpec extends SparkSpec {
 
   lazy val entries = Ontology.load()
 
-  private def goldDf(transcripts: org.apache.spark.sql.DataFrame, seed: Long) = {
+  private def goldDf(transcripts: org.apache.spark.sql.DataFrame, seed: Long,
+      multiRate: Double = 0.0) = {
     val vs = TranscriptSynth.variants(entries)
-    val goldUdf = udf((convId: String, turn: Int) =>
-      TranscriptSynth.goldForVariants(vs, seed, convId.stripPrefix("c").toLong, turn).orNull)
+    val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
+      TranscriptSynth.goldSpansForVariants(vs, seed, convId.stripPrefix("c").toLong,
+        turn, multiRate = multiRate).lift(spanIdx).orNull)
     Pipeline.extractMentions(transcripts)
-      .select(col("mention_id"), goldUdf(col("conv_id"), col("turn_idx")).as("gold"))
+      .select(col("mention_id"),
+        goldUdf(col("conv_id"), col("turn_idx"), col("span_idx")).as("gold"))
       .filter(col("gold").isNotNull)
   }
 
@@ -59,6 +62,43 @@ class TranscriptPipelineSpec extends SparkSpec {
     assert(clusters.select("mention_id").distinct().count() == summary.mentions)
     assert(summary.pairwiseF1 >= 0.99, f"global pairwise F1 ${summary.pairwiseF1}%.4f < 0.99")
     assert(summary.pairwiseF1AtKey >= 0.99, f"pairwise F1 at key ${summary.pairwiseF1AtKey}%.4f < 0.99")
+  }
+
+  test("multi-span turns: every embedded span is extracted and the F1 gate holds") {
+    val seed = 42L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 300,
+      seed = seed, multiRate = 0.3)
+    val mentions = Pipeline.extractMentions(transcripts)
+    // mention count == embedded «-delimiter count across all turns: the
+    // extractor must not silently drop second spans (round-2 verdict defect)
+    val embedded = transcripts
+      .select((size(split(col("text"), "«")) - 1).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(mentions.count() == embedded, "extractor dropped spans")
+    val multi = mentions.filter(col("span_idx") === 1).count()
+    assert(multi > 0, "multiRate=0.3 produced no second spans")
+    // span-indexed ids are collision-free
+    Pipeline.auditMentionIds(mentions)
+    // every extracted span has a gold assignment and the e2e gate is unchanged
+    val gold = goldDf(transcripts, seed, multiRate = 0.3)
+    assert(gold.count() == mentions.count(), "gold does not cover every span")
+    val root = Files.createTempDirectory("pkel_multi_").toString
+    val io = new TableIO(spark, root, "multi-run")
+    val (_, summary) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io, Some(gold))
+    info(s"multi-span summary: $summary")
+    assert(summary.pairwiseF1 >= 0.99, f"global pairwise F1 ${summary.pairwiseF1}%.4f < 0.99")
+    assert(summary.pairwiseF1AtKey >= 0.99, f"pairwise F1 at key ${summary.pairwiseF1AtKey}%.4f < 0.99")
+  }
+
+  test("mention-id audit detects constructed collisions and passes clean ids") {
+    import spark.implicits._
+    val clean = Seq((1L, "c1", 0, 0), (2L, "c1", 0, 1), (3L, "c2", 0, 0))
+      .toDF("mention_id", "conv_id", "turn_idx", "span_idx")
+    Pipeline.auditMentionIds(clean) // no throw
+    val collided = Seq((1L, "c1", 0, 0), (1L, "c2", 0, 0))
+      .toDF("mention_id", "conv_id", "turn_idx", "span_idx")
+    val e = intercept[IllegalArgumentException](Pipeline.auditMentionIds(collided))
+    assert(e.getMessage.contains("collision"))
   }
 
   test("resume is idempotent: second run replays committed stages byte-identically") {
