@@ -4,14 +4,16 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Byte-for-byte parity with the reference tokenizer on ALL real inputs:
-  * every ontology name/synonym variant and every fixture mention surface
-  * (829 distinct strings). The expected outputs were produced by executing
-  * the reference implementation itself (`pk_el/tokenizers/pk_tokenizer.py`)
-  * with the engine's drug-lexicon stub — this pins the north-rule
-  * "identical blocking keys" requirement directly. */
+  * every ontology name/synonym variant, every fixture mention surface, and
+  * explicit drug-bearing cases (838 distinct strings). The expected outputs
+  * were produced by executing the reference implementation itself
+  * (`pk_el/tokenizers/pk_tokenizer.py`) with the engine's vendored ~1.2k-name
+  * drug lexicon injected behind the dictionary-NER interface
+  * (`tools/gen_parity_fixtures.py`) — this pins the north-rule "identical
+  * blocking keys" requirement directly, including drug-name removal. */
 class ReferenceParitySpec extends AnyFunSuite {
 
-  test("blocking keys are byte-identical to the reference on all 829 real inputs") {
+  test("blocking keys are byte-identical to the reference on all real inputs") {
     val in = getClass.getResourceAsStream("/pkel/ref_tokens.json")
     require(in != null)
     val root = new ObjectMapper().readTree(in)
@@ -35,5 +37,16 @@ class ReferenceParitySpec extends AnyFunSuite {
     val ms = mismatches.result()
     assert(total >= 800, s"parity corpus unexpectedly small: $total")
     assert(ms.isEmpty, s"${ms.size} mismatches:\n${ms.take(20).mkString("\n")}")
+  }
+
+  test("drug-name removal fires on off-stub lexicon entries (round-2 gap)") {
+    // these drugs were NOT in the round-2 ten-name stub; the vendored lexicon
+    // must strip them from the blocking key exactly as the reference (run
+    // with the same lexicon) does — pinned in the regenerated parity corpus
+    assert(PkTokenizer("itraconazole clearance") == Seq("cl"))
+    assert(PkTokenizer("clearance of voriconazole") == Seq("cl"))
+    assert(PkTokenizer("total metoprolol clearance") == Seq("cl"))
+    assert(PkTokenizer("tacrolimus trough concentration") == Seq("ctrough"))
+    assert(PkTokenizer("Cmax of rivaroxaban") == Seq("cmax"))
   }
 }
