@@ -831,12 +831,31 @@ object Queries {
     }
     if (shouldDump(dir)) {
       val dump = oracleDump(dir) + "/el_exact"
-      linked.select(col("mention_id"), col("blocking_key"), col("is_table"), col("is_excluded"),
-        element_at(col("disamb"), 1).as("disamb_kind"),
-        when(element_at(col("disamb"), 1) === "R", element_at(col("disamb"), 2)).as("disamb_value"))
+      // dump the RAW context-regex hit flags (one boolean per disambiguation
+      // pattern) instead of the resolved disambiguation — the oracle re-runs
+      // the km / t1/2 priority logic itself in SQL, so only the regex kernel
+      // remains a Spark-computed input (pinned by the reference parity specs)
+      val flagsUdf = udf((text: String) => {
+        val t = pkel.text.BasicNormalizer(Option(text).getOrElse(""))
+        Seq(
+          pkel.text.Rx.search(pkel.text.Patterns.RateConstantUnit, t),
+          pkel.text.Rx.search(pkel.text.Patterns.EnzymeContext, t),
+          pkel.text.Rx.search(pkel.text.Patterns.THalfZContext, t),
+          pkel.text.Rx.search(pkel.text.Patterns.THalfBetaContext, t),
+          pkel.text.Rx.search(pkel.text.Patterns.THalfGammaContext, t))
+      })
+      linked
+        .withColumn("flags", flagsUdf(col("text")))
+        .select(col("mention_id"), col("blocking_key"), col("is_table"), col("is_excluded"),
+          element_at(col("flags"), 1).as("rate_hit"),
+          element_at(col("flags"), 2).as("enzyme_hit"),
+          element_at(col("flags"), 3).as("thz_hit"),
+          element_at(col("flags"), 4).as("thb_hit"),
+          element_at(col("flags"), 5).as("thg_hit"))
         .write.mode("overwrite").parquet(s"$dump/mentions")
-      index.map { case (k, cands) => (k, cands.size, cands.head, cands.contains("Q57")) }
-        .toDF("blocking_key", "n_candidates", "first_candidate", "has_q57")
+      index.map { case (k, cands) =>
+        (k, cands.size, cands.head, cands.contains("Q57"), cands.contains("Q1")) }
+        .toDF("blocking_key", "n_candidates", "first_candidate", "has_q57", "has_q1")
         .write.mode("overwrite").parquet(s"$dump/index")
     }
     linked
@@ -963,6 +982,42 @@ object Queries {
     pkel.eval.Metrics.confusionCounts(
       goldAssignments(spark, dir)
         .select(col("gold").as("y_true"), col("pred").as("y_pred")))
+
+  /** Row-normalized confusion matrix (`evaluation.py:135-147` percent-of-
+    * true-row, the step the reference computes before plotting) — integer
+    * basis points, independently re-derived by the oracle from the same
+    * dumped assignment table. */
+  def elConfusionNorm(spark: SparkSession, dir: String): DataFrame =
+    pkel.eval.Metrics.confusionNormalized(
+      goldAssignments(spark, dir)
+        .select(col("gold").as("y_true"), col("pred").as("y_pred")))
+
+  /** Prompt-tier token & cost estimate (`prompt_linker.py:415-496`) over the
+    * synthesized mention set at gpt-4o-mini rates: base prompt-scaffold
+    * tokens (system prompt + templates + full ontology block) plus a
+    * codegen'd regex token count per mention, all-integer nanodollar cost
+    * arithmetic. The oracle re-runs the per-mention token count (identical
+    * RE2-safe pattern), the aggregation and the price arithmetic from the
+    * dumped (mention_id, mention) table + a one-row constants table. */
+  def elPromptCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (entries, mentions) = synthMentions(spark, dir)
+    val model = "gpt-4o-mini"
+    val m = mentions.select(col("mention_id"),
+      expr("substring(text, span_start + 1, span_end - span_start)").as("mention"))
+    if (shouldDump(dir)) {
+      val base = oracleDump(dir) + "/prompt_cost"
+      m.write.mode("overwrite").parquet(s"$base/mentions")
+      val (pRate, cRate) = pkel.link.PromptCost.ratesNanos(model)
+      val baseToks = pkel.link.PromptCost.baseTokens(
+        pkel.link.PromptLinker.SystemPromptStandard, Ontology.formatForLlm(entries))
+      Seq((model, baseToks.toLong, pRate, cRate, 7L))
+        .toDF("model", "base_tokens", "prompt_rate_nanos", "completion_rate_nanos",
+          "est_completion_tokens")
+        .write.mode("overwrite").parquet(s"$base/consts")
+    }
+    pkel.link.PromptCost.estimate(spark, m, entries, model)
+  }
 
   /** Per-category ontology coverage (A6, `data_exploration.py:8-101`): how
     * many of each category's parameters appear in the gold mentions, and the

@@ -66,6 +66,8 @@ object SparkEntry {
     "q_el_clusters" -> (Queries.elClusters _),
     "q_el_pairwise_f1" -> (Queries.elPairwiseF1 _),
     "q_el_confusion" -> (Queries.elConfusion _),
+    "q_el_confusion_norm" -> (Queries.elConfusionNorm _),
+    "q_el_prompt_cost" -> (Queries.elPromptCost _),
     "q_el_coverage" -> (Queries.elCoverage _))
 
   def oracleSql: Map[String, String] = Map(
@@ -526,35 +528,91 @@ object SparkEntry {
     // exact-linker tier: DuckDB re-runs the blocking join + candidate
     // when-cascade from the dumped keyed mentions + index (written by the
     // query itself under /tmp/graft_oracle; the driver verifies at sf0.01 on
-    // this machine, so the dump is present when the oracle runs). The regex
-    // flags are dumped inputs — they are pinned against the reference by the
-    // parity specs; THIS oracle verifies the join + priority logic.
+    // this machine, so the dump is present when the oracle runs). The dump
+    // carries RAW context-regex hit flags (one boolean per pattern, pinned
+    // against the reference by the parity specs) — the km / t1/2
+    // disambiguation PRIORITY LOGIC itself is re-derived here in SQL, so a
+    // bug in the Scala when-cascade or the disambiguate() branch order
+    // cannot hide behind a pre-resolved dumped value.
     "q_el_exact" ->
       """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/el_exact/mentions/*.parquet')),
         |ix AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/el_exact/index/*.parquet')),
         |j AS (
         | SELECT m.mention_id, m.blocking_key, m.is_table, m.is_excluded,
-        |  m.disamb_kind, m.disamb_value, ix.n_candidates, ix.first_candidate, ix.has_q57
-        | FROM m LEFT JOIN ix USING (blocking_key))
+        |  m.rate_hit, m.enzyme_hit, m.thz_hit, m.thb_hit, m.thg_hit,
+        |  ix.n_candidates, ix.first_candidate, ix.has_q57, ix.has_q1
+        | FROM m LEFT JOIN ix USING (blocking_key)),
+        |-- disambiguate_multiple re-run: Q1-family branch first (reference
+        |-- checks "Q1 in param_ids" before "Q57"); exactly-one-hit resolves,
+        |-- multiple hits stay ambiguous, zero hits -> residue for km but
+        |-- defaults to Q57 for the t1/2 family
+        |d AS (
+        | SELECT *,
+        |  CASE WHEN has_q1 THEN
+        |        CASE WHEN rate_hit AND NOT enzyme_hit THEN 'Q51'
+        |             WHEN enzyme_hit AND NOT rate_hit THEN 'Q1'
+        |             ELSE NULL END
+        |       WHEN has_q57 THEN
+        |        CASE WHEN (CAST(thz_hit AS INT) + CAST(thb_hit AS INT) + CAST(thg_hit AS INT)) = 1
+        |             THEN CASE WHEN thz_hit THEN 'Q57' WHEN thb_hit THEN 'Q60' ELSE 'Q89' END
+        |             WHEN (CAST(thz_hit AS INT) + CAST(thb_hit AS INT) + CAST(thg_hit AS INT)) > 1
+        |             THEN NULL
+        |             ELSE 'Q57' END
+        |       ELSE NULL END AS resolved
+        | FROM j)
         |SELECT mention_id, blocking_key,
         | CASE WHEN is_excluded THEN 'Q100'
         |      WHEN n_candidates IS NULL THEN 'Q100'
         |      WHEN n_candidates = 1 THEN first_candidate
         |      WHEN is_table AND has_q57 THEN 'Q57'
-        |      WHEN disamb_kind = 'R' THEN disamb_value
+        |      WHEN resolved IS NOT NULL THEN resolved
         |      ELSE 'Q100' END AS y_pred,
         | CASE WHEN is_excluded THEN 'excluded'
         |      WHEN n_candidates IS NULL THEN 'unlinked'
         |      WHEN n_candidates = 1 THEN 'linked'
         |      WHEN is_table AND has_q57 THEN 'table_default'
-        |      WHEN disamb_kind = 'R' THEN 'disambiguated'
+        |      WHEN resolved IS NOT NULL THEN 'disambiguated'
         |      ELSE 'ambiguous' END AS status
-        |FROM j ORDER BY mention_id""".stripMargin,
+        |FROM d ORDER BY mention_id""".stripMargin,
     // confusion matrix of cascade predictions vs gold
     "q_el_confusion" ->
       """SELECT gold AS y_true, pred AS y_pred, COUNT(*) AS n
         |FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')
         |GROUP BY gold, pred ORDER BY y_true, y_pred""".stripMargin,
+    // row-normalized confusion: percent-of-true-row in basis points
+    "q_el_confusion_norm" ->
+      """WITH c AS (
+        | SELECT gold AS y_true, pred AS y_pred, COUNT(*) AS n
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')
+        | GROUP BY gold, pred)
+        |SELECT y_true, y_pred, n,
+        | CAST(SUM(n) OVER (PARTITION BY y_true) AS BIGINT) AS row_total,
+        | CAST(FLOOR(10000 * n / (SUM(n) OVER (PARTITION BY y_true))) AS BIGINT) AS pct_bp
+        |FROM c ORDER BY y_true, y_pred""".stripMargin,
+    // prompt-tier cost estimate: per-mention token count re-run with the
+    // IDENTICAL regex, then the aggregation + nanodollar price arithmetic
+    // re-derived from the one-row constants table
+    "q_el_prompt_cost" ->
+      """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cost/mentions/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_cost/consts/*.parquet')),
+        |tok AS (
+        | SELECT c.base_tokens +
+        |  LEN(REGEXP_EXTRACT_ALL(COALESCE(m.mention, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS pt
+        | FROM m, c),
+        |agg AS (SELECT COUNT(*) AS n, CAST(SUM(pt) AS BIGINT) AS tpt FROM tok),
+        |calc AS (
+        | SELECT c.model, agg.n, agg.tpt, c.est_completion_tokens,
+        |  agg.tpt * c.prompt_rate_nanos + agg.n * c.est_completion_tokens * c.completion_rate_nanos AS total_nanos
+        | FROM agg, c)
+        |SELECT model,
+        | n AS total_examples,
+        | tpt AS total_prompt_tokens,
+        | CAST(FLOOR(10000 * tpt / n) AS BIGINT) AS avg_prompt_tokens_bp,
+        | est_completion_tokens,
+        | CAST(FLOOR(total_nanos / n) AS BIGINT) AS cost_per_example_nanos_avg,
+        | CAST(total_nanos AS BIGINT) AS total_cost_nanos,
+        | CAST(FLOOR(1000 * total_nanos / n) AS BIGINT) AS cost_per_1000_examples_nanos
+        |FROM calc""".stripMargin,
     // per-category ontology coverage: dim join + distinct-param counts
     "q_el_coverage" ->
       """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')

@@ -136,7 +136,7 @@ object Pipeline {
   /** Run the full pipeline. `gold` (mention_id, gold) is optional — when
     * present the summary carries pairwise F1 vs gold. */
   def run(spark: SparkSession, transcripts: DataFrame, entries: Seq[OntologyEntry],
-      cfg: Config, io: TableIO, gold: Option[DataFrame] = None): (DataFrame, Summary) = {
+      cfg: Config, io: pkel.io.StageStore, gold: Option[DataFrame] = None): (DataFrame, Summary) = {
     val t0 = System.nanoTime()
 
     // stage 1: mention extraction under stable conversation ordering; the id

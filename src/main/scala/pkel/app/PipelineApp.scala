@@ -3,7 +3,6 @@ package pkel.app
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import pkel.io.TableIO
 import pkel.ontology.Ontology
 import pkel.transcript.TranscriptSynth
 
@@ -60,7 +59,10 @@ object PipelineApp {
         (t, Some(g))
     }
 
-    val io = new TableIO(spark, out, s"run-${java.util.UUID.randomUUID().toString.take(8)}")
+    // --store snapshot|catalog selects the stage-checkpoint backend — the
+    // Iceberg-shaped swap is a config flag, not a code change
+    val io = pkel.io.StageStore.forBackend(opts.getOrElse("store", "snapshot"),
+      spark, out, s"run-${java.util.UUID.randomUUID().toString.take(8)}")
     val cfg = Pipeline.Config(
       precomputeVecs = opts.get("precompute-vecs").exists(_.toBoolean),
       edgeThreshold = opts.getOrElse("edge-threshold", "0.90").toDouble)

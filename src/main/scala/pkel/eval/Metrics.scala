@@ -112,6 +112,22 @@ object Metrics {
     preds.groupBy("y_true", "y_pred").agg(count(lit(1)).as("n"))
       .orderBy("y_true", "y_pred")
 
+  /** Row-normalized confusion matrix (A4, `evaluation.py:135-147` — the
+    * percent-of-true-row normalization the reference computes before its
+    * matplotlib heatmap; plotting stays out of scope). Shares in basis
+    * points via integer-exact floor division so the DuckDB oracle reproduces
+    * the numbers bit-for-bit. One count aggregation + one window sum — the
+    * window partitions on y_true, which the groupBy already clustered, so no
+    * extra shuffle at scale. */
+  def confusionNormalized(preds: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("y_true")
+    preds.groupBy("y_true", "y_pred").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(w))
+      .withColumn("pct_bp", floor(lit(10000) * col("n") / col("row_total")).cast("long"))
+      .select("y_true", "y_pred", "n", "row_total", "pct_bp")
+      .orderBy("y_true", "y_pred")
+  }
+
   /** Misclassification listing (A3, `evaluation.py:92-120`): first
     * `maxErrors` rows where y_true ≠ y_pred, with the display text. */
   def classificationErrors(preds: DataFrame, textCol: String = "text",

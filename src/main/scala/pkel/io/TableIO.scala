@@ -10,66 +10,67 @@ import org.apache.spark.sql.functions._
   *
   * The north rule asks for Iceberg tables with per-stage checkpoints and an
   * idempotent resume. No Iceberg runtime jar ships in this offline image
-  * (SURVEY.md §7.1), so `TableIO` realizes the same contract on partitioned
-  * Parquet with snapshot-commit semantics: a stage directory is only
-  * considered committed once its `_COMMIT` marker (row count + params
-  * fingerprint) exists; `readOrCompute` replays committed stages from disk
-  * and recomputes the rest, so a killed run resumes idempotently. Swapping
-  * the implementation to `iceberg-spark-runtime` is a write-path change only.
+  * (SURVEY.md §7.1), so the contract is a trait (`StageStore`) with two
+  * interchangeable offline realizations, proving the backend swap is a
+  * config decision, not a code change:
   *
-  * Commit markers go through the Hadoop `FileSystem` resolved from the data
-  * path itself — on a cluster the marker lands on the same HDFS/S3/file
+  *  - [[TableIO]] — snapshot-marker Parquet: stage dir + `_COMMIT` marker
+  *    file; the marker write is the atomic commit point.
+  *  - [[CatalogTableIO]] — catalog-pointer Parquet (Iceberg-shaped):
+  *    immutable per-fingerprint snapshot directories plus a per-stage
+  *    catalog pointer file whose overwrite is the atomic commit point —
+  *    the same metadata-pointer-swap shape `iceberg-spark-runtime` uses,
+  *    with old snapshots retained on disk.
+  *
+  * Both run through the Hadoop `FileSystem` resolved from the data path
+  * itself — on a cluster the marker/pointer lands on the same HDFS/S3/file
   * scheme as the parquet it guards (driver-local `java.nio` would silently
   * write markers to the driver's disk instead).
   */
-final class TableIO(spark: SparkSession, val root: String, val runId: String) {
+trait StageStore {
+  protected def spark: SparkSession
+  def root: String
+  def runId: String
 
-  private def stageDir(stage: String) = s"$root/$stage"
-  private def markerPath(stage: String) = new Path(s"$root/$stage/_COMMIT")
-  private def fs(p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** True iff `stage` has a committed snapshot for `fingerprint`. */
+  def isCommitted(stage: String, fingerprint: String): Boolean
 
-  def isCommitted(stage: String, fingerprint: String): Boolean = {
-    val m = markerPath(stage)
-    val f = fs(m)
-    f.exists(m) && {
-      val in = f.open(m)
-      try {
-        val content = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        content.linesIterator.exists(_ == s"fingerprint=$fingerprint")
-      } finally in.close()
-    }
-  }
+  /** Location of the committed snapshot for `stage` (impl-specific). */
+  protected def committedLocation(stage: String): String
 
   /** Write `df` as the committed output of `stage` (overwrites any partial
     * previous attempt), record metrics, return the re-read DataFrame. */
-  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame = {
-    val dir = stageDir(stage)
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").parquet(dir)
-    val out = spark.read.parquet(dir)
-    val rows = out.count()
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    writeMetrics(stage, out, rows, wallMs)
-    val m = markerPath(stage)
-    val os = fs(m).create(m, true) // overwrite: marker write is the atomic point
-    try os.write(
-      s"fingerprint=$fingerprint\nrows=$rows\nrun_id=$runId\nwall_ms=$wallMs\n"
-        .getBytes(StandardCharsets.UTF_8))
-    finally os.close()
-    out
-  }
+  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame
 
   /** Idempotent stage execution: replay from the committed snapshot when the
     * fingerprint matches, else compute + commit. */
-  def readOrCompute(stage: String, fingerprint: String)(compute: => DataFrame): DataFrame =
-    if (isCommitted(stage, fingerprint)) spark.read.parquet(stageDir(stage))
+  final def readOrCompute(stage: String, fingerprint: String)(compute: => DataFrame): DataFrame =
+    if (isCommitted(stage, fingerprint)) spark.read.parquet(committedLocation(stage))
     else commit(stage, compute, fingerprint)
+
+  protected def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  protected def readSmallFile(p: Path): Option[String] = {
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  protected def writeSmallFile(p: Path, content: String): Unit = {
+    val os = fs(p).create(p, true) // overwrite: this write is the atomic point
+    try os.write(content.getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+  }
 
   /** Per-partition lineage counters appended to the metrics table
     * (north rule: "per-partition lineage + counter metrics"). */
-  private def writeMetrics(stage: String, df: DataFrame, totalRows: Long, wallMs: Long): Unit = {
+  protected def writeMetrics(stage: String, df: DataFrame, totalRows: Long, wallMs: Long): Unit = {
     val perPartition = df.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows_out"))
       .withColumn("run_id", lit(runId))
@@ -81,4 +82,95 @@ final class TableIO(spark: SparkSession, val root: String, val runId: String) {
   }
 
   def metrics(): DataFrame = spark.read.parquet(s"$root/_metrics")
+}
+
+object StageStore {
+  /** Config-selected backend — the "Iceberg swap is config-only" seam. */
+  def forBackend(backend: String, spark: SparkSession, root: String, runId: String): StageStore =
+    backend match {
+      case "snapshot" => new TableIO(spark, root, runId)
+      case "catalog" => new CatalogTableIO(spark, root, runId)
+      case other => throw new IllegalArgumentException(
+        s"unknown StageStore backend '$other' (snapshot | catalog)")
+    }
+}
+
+/** Snapshot-marker backend: a stage directory is committed once its
+  * `_COMMIT` marker (fingerprint + row count) exists. */
+final class TableIO(protected val spark: SparkSession, val root: String,
+    val runId: String) extends StageStore {
+
+  private def stageDir(stage: String) = s"$root/$stage"
+  private def markerPath(stage: String) = new Path(s"$root/$stage/_COMMIT")
+
+  override protected def committedLocation(stage: String): String = stageDir(stage)
+
+  def isCommitted(stage: String, fingerprint: String): Boolean =
+    readSmallFile(markerPath(stage))
+      .exists(_.linesIterator.exists(_ == s"fingerprint=$fingerprint"))
+
+  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame = {
+    val dir = stageDir(stage)
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+    val rows = out.count()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    writeMetrics(stage, out, rows, wallMs)
+    writeSmallFile(markerPath(stage),
+      s"fingerprint=$fingerprint\nrows=$rows\nrun_id=$runId\nwall_ms=$wallMs\n")
+    out
+  }
+}
+
+/** Catalog-pointer backend (Iceberg-shaped): each commit writes an IMMUTABLE
+  * snapshot directory `stage/snap-<fingerprint>/` and then atomically
+  * overwrites the per-stage pointer file `_catalog/<stage>.json` to name it.
+  * Readers resolve through the pointer only, so a partial snapshot write is
+  * invisible until the pointer swap — and superseded snapshots stay on disk
+  * (time-travel-shaped history, like Iceberg's metadata lineage). */
+final class CatalogTableIO(protected val spark: SparkSession, val root: String,
+    val runId: String) extends StageStore {
+
+  private def snapDir(stage: String, fingerprint: String) =
+    s"$root/$stage/snap-$fingerprint"
+  private def pointerPath(stage: String) = new Path(s"$root/_catalog/$stage.json")
+
+  /** Minimal flat JSON (string values only) — no parser dependency. */
+  private def toJson(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+
+  private def fromJson(s: String): Map[String, String] =
+    "\"([^\"]+)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toMap
+
+  private def pointer(stage: String): Option[Map[String, String]] =
+    readSmallFile(pointerPath(stage)).map(fromJson)
+
+  override protected def committedLocation(stage: String): String =
+    pointer(stage).flatMap(_.get("location")).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for stage '$stage'"))
+
+  def isCommitted(stage: String, fingerprint: String): Boolean =
+    pointer(stage).exists { p =>
+      p.get("fingerprint").contains(fingerprint) &&
+        p.get("location").exists(loc => fs(new Path(loc)).exists(new Path(loc)))
+    }
+
+  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame = {
+    val dir = snapDir(stage, fingerprint)
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+    val rows = out.count()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    writeMetrics(stage, out, rows, wallMs)
+    writeSmallFile(pointerPath(stage), toJson(Seq(
+      "stage" -> stage, "fingerprint" -> fingerprint, "location" -> dir,
+      "rows" -> rows.toString, "run_id" -> runId, "wall_ms" -> wallMs.toString)))
+    out
+  }
 }

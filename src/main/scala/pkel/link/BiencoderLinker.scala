@@ -47,6 +47,33 @@ object BiencoderLinker {
     if (filtered.isEmpty) Seq(("Q100", 0.0)) else filtered
   }
 
+  final case class SweepPoint(threshold: Double, linked: Long, residue: Long, microF1: Double)
+
+  /** Threshold-tuning sweep — behavioral port of
+    * `scripts/linking/tuning/tune_biencoder_linker.py:36` (thresholds
+    * {0.5…0.9} over the residue, evaluate each, keep the best). One linker
+    * run per threshold over the same residue; `label` is the gold column.
+    * Returns one point per threshold, in input order. */
+  def sweep(spark: SparkSession, residue: DataFrame, entries: Seq[OntologyEntry],
+      featureCol: String, thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.75, 0.8, 0.9),
+      k: Int = 5, useCategoryConstraint: Boolean = true,
+      embedder: Embedder = Embedder.default): Seq[SweepPoint] =
+    thresholds.map { thr =>
+      val out = link(spark, residue, entries, featureCol, k, thr,
+        useCategoryConstraint, embedder).cache()
+      val linked = out.filter(col("status") === "linked").count()
+      val resid = out.filter(col("status") === "unlinked").count()
+      val f1 = pkel.eval.Metrics.evaluate(
+        out.select(col("label").as("y_true"), col("y_pred"))).micF1
+      out.unpersist(blocking = false)
+      SweepPoint(thr, linked, resid, f1)
+    }
+
+  /** Deterministic best-threshold selection: max micro-F1, ties broken by
+    * the LOWER threshold (more recall at equal quality). */
+  def bestThreshold(points: Seq[SweepPoint]): SweepPoint =
+    points.minBy(p => (-p.microF1, p.threshold))
+
   /** Run the bi-encoder tier over residue mentions.
     * Input columns: feature column `featureCol` (retrieval text),
     * subsetted_concepts (nullable array). Output: + (pred_ids, pred_scores,

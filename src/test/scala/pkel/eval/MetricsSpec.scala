@@ -67,4 +67,26 @@ class MetricsSpec extends SparkSpec {
     val uncovered = rows.values.filter(_.getAs[Long]("label_count") == 0)
     assert(uncovered.forall(r => r.getAs[Long]("covered_params") == 0))
   }
+
+  test("confusionNormalized: row shares in basis points vs a hand-computed 3x3") {
+    // true a: 2x a, 1x b  -> a row: a 6666bp, b 3333bp
+    // true b: 1x b        -> b row: b 10000bp
+    // true c: 1x a, 1x c  -> c row: a 5000bp, c 5000bp
+    val preds = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"),
+      ("c", "a"), ("c", "c")).toDF("y_true", "y_pred")
+    val rows = Metrics.confusionNormalized(preds).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("row_total"), r.getAs[Long]("pct_bp"))).toMap
+    assert(rows(("a", "a")) == ((2L, 3L, 6666L)))
+    assert(rows(("a", "b")) == ((1L, 3L, 3333L)))
+    assert(rows(("b", "b")) == ((1L, 1L, 10000L)))
+    assert(rows(("c", "a")) == ((1L, 2L, 5000L)))
+    assert(rows(("c", "c")) == ((1L, 2L, 5000L)))
+    assert(rows.size == 5)
+    // shares within a true-row sum to <= 10000 (floor) and > 10000 - rowsize
+    val aRow = rows.collect { case ((t, _), v) if t == "a" => v._3 }.sum
+    assert(aRow <= 10000 && aRow > 10000 - 2)
+  }
 }
