@@ -116,9 +116,9 @@ object Metrics {
     * percent-of-true-row normalization the reference computes before its
     * matplotlib heatmap; plotting stays out of scope). Shares in basis
     * points via integer-exact floor division so the DuckDB oracle reproduces
-    * the numbers bit-for-bit. One count aggregation + one window sum — the
-    * window partitions on y_true, which the groupBy already clustered, so no
-    * extra shuffle at scale. */
+    * the numbers bit-for-bit. One count aggregation over the data, then a
+    * window sum over the |classes|² confusion cells — the second exchange
+    * moves cells, not data rows, so it is O(|classes|²) at any scale. */
   def confusionNormalized(preds: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("y_true")
     preds.groupBy("y_true", "y_pred").agg(count(lit(1)).as("n"))

@@ -122,6 +122,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("o_comment"), "rollup scan must prune unused columns")
   }
 
+  test("prompt-cost estimate stays in codegen: no UDF on the token-count path") {
+    import org.apache.spark.sql.functions._
+    val entries = Ontology.load()
+    // a parquet-backed source (a local Seq would be constant-folded into a
+    // LocalTableScan, hiding the expression we want to audit)
+    val mentions = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("mention_id"), col("text").as("mention"))
+    val df = pkel.link.PromptCost.estimate(spark, mentions, entries, "gpt-4o-mini")
+    val plan = planOf(df)
+    // the per-mention token count is built-in regexp_extract_all + size —
+    // a Scala UDF here would put the hot path outside whole-stage codegen
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"token counting must not use a UDF:\n${plan.take(2000)}")
+    assert(plan.contains("regexp_extract_all"), s"expected regexp token count:\n${plan.take(2000)}")
+    // only the two needed columns reach the scan
+    assert(plan.contains("ReadSchema") && !plan.contains("lang"),
+      "scan must prune to (doc_id, text)")
+  }
+
+  test("normalized confusion: the window moves cells, not data rows") {
+    import spark.implicits._
+    val preds = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("y_true", "y_pred")
+    val df = pkel.eval.Metrics.confusionNormalized(preds)
+    df.collect()
+    // audit the FINAL AQE plan only (executedPlan.toString prints the
+    // initial plan again below it, double-counting every exchange)
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    // one hashpartitioning exchange for the (y_true, y_pred) aggregate over
+    // the DATA, plus one for the y_true window — but the second one moves
+    // only the |classes|^2 confusion CELLS, never data rows; any more would
+    // mean the data itself is being shuffled twice
+    val dataExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges <= 2, s"window added extra shuffles:\n$plan")
+    assert(plan.contains("Window"), s"expected window for row totals:\n$plan")
+  }
+
   test("whole-stage codegen spans cover the relational battery") {
     // AQE finalizes the plan only on execution — run the query first
     val df = graft.Queries.aggPushdown(spark, sfDir)
