@@ -346,28 +346,61 @@ object Queries {
       .orderBy("band", "bucket")
   }
 
+  /** 64-bit frequency-weighted simhash as a 16-hex string (md5-derived token
+    * hashes — the identical construction runs in the DuckDB oracle). */
+  private val simhashHexUdf = udf((text: String) => {
+    val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    tokens.foreach { tk =>
+      val h = md5Hash64(tk)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    hex16(out)
+  })
+
   /** SimHash (64-bit) per document over word features — near-dup by hamming
     * distance downstream. Token hash is md5-derived and the signature is
     * emitted as a 16-hex string, so the identical construction runs in the
     * DuckDB oracle (hash-verified, not rows-only). Every token OCCURRENCE
     * votes ±1 per bit (standard simhash weighting by frequency). */
-  def docSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = udf((text: String) => {
-      val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-      val acc = new Array[Int](64)
-      tokens.foreach { tk =>
-        val h = md5Hash64(tk)
-        var i = 0
-        while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-      hex16(out)
-    })
+  def docSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), sim(col("text")).as("simhash_hex"))
+      .select(col("doc_id"), simhashHexUdf(col("text")).as("simhash_hex"))
       .orderBy("doc_id")
+
+  /** The simhash DOWNSTREAM: near-duplicate pairs by hamming distance. Band
+    * blocking, not all-pairs: the 64-bit signature splits into 4 bands of 16
+    * bits (4 hex chars); by pigeonhole, any pair within `maxHamming` ≤ 3 bits
+    * differs in ≤ 3 bands, so it MUST agree on at least one band — the
+    * band-equality join therefore has complete recall for the threshold
+    * while scanning only band-bucket collisions (the 100 TB shape; an
+    * all-pairs hamming scan is quadratic). Exact hamming is recomputed per
+    * candidate via a codegen'd nibble-XOR popcount; duplicates from pairs
+    * sharing multiple bands are collapsed. */
+  def docSimhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking guarantees recall only up to hamming 3")
+    val sigs = t(spark, dir, "documents")
+      .select(col("doc_id"), simhashHexUdf(col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> substring(sig, b * 4 + 1, 4))"))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val hammingExpr = expr(
+      "aggregate(sequence(1, 16), 0, (acc, i) -> acc + " +
+        "bit_count(cast(conv(substring(sig_a, i, 1), 16, 10) as int) ^ " +
+        "cast(conv(substring(sig_b, i, 1), 16, 10) as int)))")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hammingExpr)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- similarity search over embeddings ---------------------------------
@@ -413,27 +446,31 @@ object Queries {
     * dense region fans out quadratically at scale, same guard as the MinHash
     * path. The hyperplane sign table is md5-derived so the identical
     * bucketing runs in the DuckDB oracle (hash-verified). */
-  def embedAnnLsh(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
-    val planes = 12
-    // sign(p, i) = +1 iff the first md5 hex digit of "p_i" is even — a fixed
-    // pseudo-random ±1 matrix both engines can derive independently
-    val signs: Array[Array[Double]] = Array.tabulate(planes, 64) { (p, i) =>
-      val d = Character.digit(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"${p}_$i").charAt(0), 16)
-      if ((d & 1) == 0) 1.0 else -1.0
+  /** Random-hyperplane LSH signature: sign(p, i) = +1 iff the first md5 hex
+    * digit of "p_i" is even — a fixed pseudo-random ±1 matrix both engines
+    * can derive independently. Shared by the ANN top-1 query and the
+    * cosine near-dup pair query. */
+  private val annPlanes = 12
+  private lazy val annSigns: Array[Array[Double]] = Array.tabulate(annPlanes, 64) { (p, i) =>
+    val d = Character.digit(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"${p}_$i").charAt(0), 16)
+    if ((d & 1) == 0) 1.0 else -1.0
+  }
+  private lazy val annSigUdf = udf((v: Seq[Float]) => {
+    var out = 0
+    var p = 0
+    while (p < annPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * annSigns(p)(i); i += 1 }
+      if (s > 0) out |= (1 << p)
+      p += 1
     }
-    val sig = udf((v: Seq[Float]) => {
-      var out = 0
-      var p = 0
-      while (p < planes) {
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i).toDouble * signs(p)(i); i += 1 }
-        if (s > 0) out |= (1 << p)
-        p += 1
-      }
-      out
-    })
+    out
+  })
+
+  def embedAnnLsh(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
+    val sig = annSigUdf
     // ONE signature scan: the UDF-signed table feeds both the bucket-size
     // aggregate and both sides of the self-join, so it is persisted via the
     // tracked cache (round-2's un-persisted e0 recomputed the scan 3× and
@@ -456,6 +493,34 @@ object Queries {
       .filter(col("rk") === 1)
       .select("query_id", "vec_id", "cos_sim")
       .orderBy("query_id")
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-family shape, vs the
+    * ANN query's per-query top-1): all pairs within an LSH bucket whose dot
+    * product clears `threshold`, emitted once (a < b). Bucketed, never
+    * all-pairs — the same capped random-hyperplane blocking as the ANN path,
+    * sharing its cached signature scan. The synthetic embedding corpus has
+    * no true near-duplicates (max within-bucket cosine ≈ 0.37), so the
+    * default threshold is set low enough to exercise the operator's
+    * filter/emit path; a production near-dup run would use ~0.95. */
+  def embedCosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25,
+      maxBucket: Int = 256): DataFrame = {
+    val e0 = cachedDf(spark, dir, "ann_lsh_sig") {
+      t(spark, dir, "embeddings").withColumn("bucket", annSigUdf(col("embedding")))
+    }
+    val small = e0.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).select("bucket")
+    val e = e0.join(broadcast(small), "bucket")
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val cosExpr = expr(
+      "aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)")
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosExpr, 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
   }
 
   /** IVF (inverted-file) ANN: deterministic coarse quantizer (seed centroids
@@ -924,6 +989,27 @@ object Queries {
       .groupBy("label").agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("mention_id")).as("n_mentions"))
       .orderBy("label")
+  }
+
+  /** Multi-span mention extraction, driver-visible: a transcript corpus with
+    * 30% multi-mention turns (second «…» spans) → every span extracted with
+    * its 0-based span_idx and surface. The DuckDB oracle re-runs the WHOLE
+    * extraction independently — `regexp_extract_all(text, '«([^«»]*)»')`
+    * over the dumped raw turns — so a first-span-only regression (the
+    * round-2 defect) or an off-by-one in the offset scan breaks the hash. */
+  def elSpans(spark: SparkSession, dir: String): DataFrame = {
+    val entries = synthMentions(spark, dir)._1
+    val nConvs = convsForSf(sfOf(dir), base = 100L)
+    val transcripts = pkel.transcript.TranscriptSynth.generate(
+      spark, entries, nConvs, seed = 99L, multiRate = 0.3)
+    if (shouldDump(dir))
+      transcripts.filter(col("text").contains("«"))
+        .select("conv_id", "turn_idx", "text")
+        .write.mode("overwrite").parquet(oracleDump(dir) + "/spans/turns")
+    pkel.app.Pipeline.extractMentions(transcripts)
+      .select(col("conv_id"), col("turn_idx"), col("span_idx"),
+        expr("substring(text, span_start + 1, span_end - span_start)").as("mention"))
+      .orderBy("conv_id", "turn_idx", "span_idx")
   }
 
   /** The north-rule metric itself, oracle-verified: pairwise cluster

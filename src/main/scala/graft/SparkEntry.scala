@@ -47,11 +47,13 @@ object SparkEntry {
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
     "q_doc_simhash" -> (Queries.docSimhash _),
+    "q_doc_simhash_neardup" -> ((s: SparkSession, d: String) => Queries.docSimhashNearDup(s, d)),
     "q_stream_dedup" -> (Queries.streamDedupExact _),
     // similarity search over embeddings
     "q_embed_cosine_topk" -> ((s: SparkSession, d: String) => Queries.embedCosineTopK(s, d)),
     "q_embed_label_stats" -> (Queries.embedLabelStats _),
     "q_embed_ann_lsh" -> ((s: SparkSession, d: String) => Queries.embedAnnLsh(s, d)),
+    "q_embed_cosine_neardup" -> ((s: SparkSession, d: String) => Queries.embedCosineNearDup(s, d)),
     "q_embed_ivf_topk" -> ((s: SparkSession, d: String) => Queries.embedIvfTopK(s, d)),
     // multimodal plumbing
     "q_mm_meta" -> (Queries.mmMeta _),
@@ -68,6 +70,7 @@ object SparkEntry {
     "q_el_confusion" -> (Queries.elConfusion _),
     "q_el_confusion_norm" -> (Queries.elConfusionNorm _),
     "q_el_prompt_cost" -> (Queries.elPromptCost _),
+    "q_el_spans" -> (Queries.elSpans _),
     "q_el_coverage" -> (Queries.elCoverage _))
 
   def oracleSql: Map[String, String] = Map(
@@ -306,6 +309,75 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(hexes.simhash_hex, '0000000000000000') AS simhash_hex
         |FROM documents d LEFT JOIN hexes ON hexes.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // simhash near-dup: identical signature construction, then 4×16-bit band
+    // blocking (pigeonhole-complete for hamming ≤ 3) + exact nibble-XOR
+    // popcount hamming, duplicates across bands collapsed
+    "q_doc_simhash_neardup" ->
+      """WITH toks AS (
+        | SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+        | FROM documents),
+        |bits AS (
+        | SELECT doc_id, r.i,
+        |  SUM(CASE WHEN ((('0x' || SUBSTR(MD5(tk),1,16))::UBIGINT >> r.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        | FROM toks, RANGE(0, 64) r(i)
+        | GROUP BY doc_id, r.i),
+        |nibbles AS (
+        | SELECT doc_id, (i // 4) AS nib,
+        |  SUM(CASE WHEN s > 0 THEN (1 << (i % 4)) ELSE 0 END) AS nv
+        | FROM bits GROUP BY doc_id, (i // 4)),
+        |hexes AS (
+        | SELECT doc_id, STRING_AGG(SUBSTR('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS sig
+        | FROM nibbles GROUP BY doc_id),
+        |banded AS (
+        | SELECT doc_id, sig, b.b AS band, SUBSTR(sig, b.b * 4 + 1, 4) AS bkey
+        | FROM hexes, RANGE(0, 4) b(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ham AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 16), i ->
+        |    bit_count(xor(('0x' || sig_a[i])::INT, ('0x' || sig_b[i])::INT)))) AS INT) AS hamming
+        | FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // embedding-cosine near-dup pairs: same md5-derived hyperplane buckets
+    // as the ANN query, all within-bucket pairs over the dot threshold
+    "q_embed_cosine_neardup" ->
+      """WITH sgn AS (
+        | SELECT LIST(sv ORDER BY p) AS m FROM (
+        |  SELECT p, LIST(CASE WHEN (('0x' || SUBSTR(MD5(p::VARCHAR || '_' || i::VARCHAR), 1, 1))::INT & 1) = 0
+        |    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS sv
+        |  FROM RANGE(0, 12) rp(p), RANGE(0, 64) ri(i) GROUP BY p)),
+        |eb AS (
+        | SELECT e.vec_id, e.embedding,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 12), p ->
+        |    CASE WHEN LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)), k ->
+        |      CAST(e.embedding[k] AS DOUBLE) * sgn.m[p][k])) > 0
+        |    THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS bucket
+        | FROM embeddings e, sgn),
+        |small AS (SELECT bucket FROM eb GROUP BY bucket HAVING COUNT(*) <= 256),
+        |e2 AS (SELECT eb.* FROM eb JOIN small USING (bucket))
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)), k ->
+        |   CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))), 4) AS cos_sim
+        |FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)), k ->
+        |   CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))), 4) >= 0.25
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // multi-span extraction: the oracle re-extracts EVERY «…» span with its
+    // 0-based index from the dumped raw turns — first-span-only or offset
+    // bugs in the Scala extractor break the hash
+    "q_el_spans" ->
+      """WITH t AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/spans/turns/*.parquet')),
+        |ex AS (
+        | SELECT conv_id, turn_idx, REGEXP_EXTRACT_ALL(text, '«([^«»]*)»', 1) AS ms FROM t),
+        |idx AS (
+        | SELECT conv_id, turn_idx, ms, UNNEST(GENERATE_SERIES(1, LEN(ms))) AS i FROM ex)
+        |SELECT conv_id, turn_idx, CAST(i - 1 AS INT) AS span_idx,
+        | ms[CAST(i AS INT)] AS mention
+        |FROM idx WHERE ms[CAST(i AS INT)] <> ''
+        |ORDER BY conv_id, turn_idx, span_idx""".stripMargin,
     // minhash: ONE md5 per shingle, 32 XOR-shifted hash functions
     // (h_j = md5_64(shingle) XOR md5_64(j)), 8 bands of 4, band bucket =
     // md5 of the comma-joined 16-hex minhashes
