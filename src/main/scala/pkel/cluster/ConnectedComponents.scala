@@ -55,6 +55,17 @@ object ConnectedComponents {
     * edge. Singleton nodes (no edges) are their own root — callers union
     * them in.
     *
+    * ADAPTIVE execution: when the canonical edge count is at or below
+    * `smallGraphThreshold`, the component computation runs as a single
+    * driver-side union-find over the collected edges instead of the
+    * iterative fixpoint — the same move Spark itself makes when it
+    * broadcasts a small join side. The distributed fixpoint pays a
+    * per-iteration job floor (two stars × groupBy+join × ~4 rounds) that
+    * dominates wall time on small graphs; at 2M edges the collect is
+    * ~32 MB of longs, far below any driver budget, and the result is
+    * IDENTICAL (min-reachable-id roots, equality property-tested). Pass
+    * `smallGraphThreshold = 0` to force the distributed path.
+    *
     * Lineage is truncated every iteration. By default with `localCheckpoint`
     * (executor-memory-resident — fast, but an executor loss mid-job forces a
     * full recompute); pass `checkpointDir` for RELIABLE checkpoints — every
@@ -63,13 +74,44 @@ object ConnectedComponents {
     * instead of dying with a lost executor. Intermediate iterations still
     * use localCheckpoint (cheap) between durable ones. */
   def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
-      checkpointDir: Option[String] = None, reliableEvery: Int = 3): DataFrame =
-    runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery)._1
+      checkpointDir: Option[String] = None, reliableEvery: Int = 3,
+      smallGraphThreshold: Long = 2000000L): DataFrame =
+    runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery,
+      smallGraphThreshold)._1
+
+  /** Driver-side union-find with min-root semantics (attach the larger root
+    * under the smaller), path-compressed. */
+  private def unionFind(rows: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def findRoot(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { case (a, b) =>
+      val ra = findRoot(a); val rb = findRoot(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val nodes = new java.util.HashSet[Long]()
+    rows.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val it = nodes.iterator()
+    new Iterator[(Long, Long)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Long) = { val n = it.next(); (n, findRoot(n)) }
+    }
+  }
 
   /** `run` plus the number of star iterations executed (probes/specs use the
-    * count to audit convergence). */
+    * count to audit convergence; the small-graph path reports 0). */
   def runWithStats(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
-      checkpointDir: Option[String] = None, reliableEvery: Int = 3): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None, reliableEvery: Int = 3,
+      smallGraphThreshold: Long = 2000000L): (DataFrame, Int) = {
     // superseded durable checkpoints are deleted as soon as the next one is
     // fully written, so a run keeps AT MOST ONE edge-set copy on disk (the
     // final checkpoint remains until the caller is done with the returned
@@ -95,6 +137,12 @@ object ConnectedComponents {
         .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
         .distinct(), 0)
     var sig = signature(edges)
+    if (sig._1 <= smallGraphThreshold) {
+      import spark.implicits._
+      val rows = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return (unionFind(rows).toSeq.toDF("node", "root"), 0)
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {

@@ -44,8 +44,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter(e => e._1 != e._2)
     val dir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    // threshold 0 forces the distributed fixpoint (the adaptive small-graph
+    // path would satisfy this graph driver-side and write no checkpoints)
     val durable = ConnectedComponents.run(spark, edges.toDF("src", "dst"),
-      checkpointDir = Some(dir), reliableEvery = 2)
+      checkpointDir = Some(dir), reliableEvery = 2, smallGraphThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(durable == runCc(edges))
     // durable state actually landed on disk, and superseded checkpoints were
@@ -55,7 +57,8 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected exactly one surviving checkpoint, got ${checkpoints.map(_.getName).toSeq}")
   }
 
-  test("random graphs match union-find oracle") {
+  test("random graphs match union-find oracle on BOTH execution paths") {
+    import spark.implicits._
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
       val n = 60 + rnd.nextInt(60)
@@ -63,8 +66,15 @@ class ConnectedComponentsSpec extends SparkSpec {
         (rnd.nextInt(40).toLong - 5, rnd.nextInt(40).toLong - 5)
       }.filter(e => e._1 != e._2)
       val expect = oracle(edges)
-      val got = runCc(edges)
-      assert(got == expect, s"trial $trial mismatch\n got=$got\n exp=$expect")
+      // adaptive default → driver-side union-find path
+      val small = runCc(edges)
+      assert(small == expect, s"trial $trial small-path mismatch\n got=$small\n exp=$expect")
+      // threshold 0 → distributed large-star/small-star fixpoint
+      val (dist, iters) = ConnectedComponents.runWithStats(
+        spark, edges.toDF("src", "dst"), smallGraphThreshold = 0L)
+      val distMap = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(iters > 0, "distributed path must actually iterate")
+      assert(distMap == expect, s"trial $trial distributed mismatch\n got=$distMap\n exp=$expect")
     }
   }
 }
