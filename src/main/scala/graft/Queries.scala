@@ -690,6 +690,50 @@ object Queries {
     spark.table(name).orderBy("canonical_doc")
   }
 
+  /** Streaming event-time windowed aggregation with a WATERMARK, in APPEND
+    * mode — the stateful-streaming shape the dedup query doesn't exercise:
+    * only windows the watermark has finalized are emitted, so late data
+    * inside the delay would still be aggregated and the state store evicts
+    * closed windows (bounded state at any stream length). AvailableNow
+    * drains the table as a stream; the final watermark is max(ts) − delay,
+    * so the emitted set is exactly the hour windows whose end ≤ that — a
+    * batch-expressible predicate the DuckDB oracle re-derives. */
+  def streamEventHourly(spark: SparkSession, dir: String,
+      delay: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tablePath = s"$dir/events.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val isDirTable =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(hp).isDirectory
+    val streamIn =
+      if (isDirTable) spark.readStream.schema(schema).parquet(tablePath)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = streamIn
+      // the parquet ts is TIMESTAMP_NTZ; event-time watermarks require
+      // TIMESTAMP (session tz = UTC, so the instant is unchanged)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dec(sum(dec(col("value")))).cast("double").as("sum_value"))
+    val name = s"stream_hourly_${math.abs(dir.hashCode)}_${streamRuns.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append") // only watermark-finalized windows are emitted
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000)
+    if (!finished) q.stop()
+    require(finished, s"streaming hourly agg did not finish within 120s ($name)")
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Frame-sampling plumbing over opaque media payloads: treat the binary as
     * fixed-width frames, keep every `stride`-th frame, emit per-doc sampled
     * counts + a digest of the sampled bytes. The decode is a stub (bytes ARE
@@ -825,7 +869,8 @@ object Queries {
       persistCache.remove(_).foreach(_.unpersist(blocking = false)))
     spark.catalog.clearCache()
     spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name.startsWith("stream_dedup_"))
+      .filter(t => t.isTemporary &&
+        (t.name.startsWith("stream_dedup_") || t.name.startsWith("stream_hourly_")))
       .foreach(t => spark.catalog.dropTempView(t.name))
   }
 

@@ -49,6 +49,7 @@ object SparkEntry {
     "q_doc_simhash" -> (Queries.docSimhash _),
     "q_doc_simhash_neardup" -> ((s: SparkSession, d: String) => Queries.docSimhashNearDup(s, d)),
     "q_stream_dedup" -> (Queries.streamDedupExact _),
+    "q_stream_hourly" -> ((s: SparkSession, d: String) => Queries.streamEventHourly(s, d)),
     // similarity search over embeddings
     "q_embed_cosine_topk" -> ((s: SparkSession, d: String) => Queries.embedCosineTopK(s, d)),
     "q_embed_label_stats" -> (Queries.embedLabelStats _),
@@ -280,6 +281,18 @@ object SparkEntry {
         | OCTET_LENGTH(ENCODE(text)) AS n_bytes,
         | MD5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // streaming hourly agg in APPEND mode: only windows finalized by the
+    // watermark (final wm = max(ts) − 30 min after AvailableNow drains the
+    // table) are emitted, so the oracle is the batch hourly aggregate
+    // restricted to windows whose end precedes that watermark
+    "q_stream_hourly" ->
+      """WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events, wm
+        |GROUP BY 1, 2
+        |HAVING DATE_TRUNC('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
     // streaming dedup == batch dedup by construction (AvailableNow drains the
     // full input); the batch GROUP BY is therefore the oracle
     "q_stream_dedup" ->
