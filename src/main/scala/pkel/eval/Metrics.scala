@@ -73,38 +73,44 @@ object Metrics {
     * (gold,pred) contingency table; gold pairs = Σ_gold C(n,2); predicted
     * pairs = Σ_pred C(n,2). Three shuffles, no pair blow-up.
     */
-  def pairwiseF1(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics = {
+  def pairwiseF1(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics =
+    pairwiseF1Grouped(assignments, Seq.empty, nil)
+
+  /** Shared engine for global / at-key pairwise F1: ONE data-scale shuffle
+    * builds the (extraKeys…, gold, pred) contingency cells, and all three
+    * pair sums (gold, predicted, true-positive) derive from the cells with
+    * cell-scale aggregations — round 2 ran three separate data-scale
+    * groupBys per scope. Marginals come from summing cells (a row's gold
+    * margin counts every pred including NIL), so the numbers are identical. */
+  private def pairwiseF1Grouped(assignments: DataFrame, extraKeys: Seq[String],
+      nil: String): PairwiseMetrics = {
     val pairsUdf = udf((n: Long) => pairs(n))
-    val goldPairs = assignments.filter(col("gold") =!= nil)
-      .groupBy("gold").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
-    val predPairs = assignments.filter(col("pred") =!= nil)
-      .groupBy("pred").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
-    val tp = assignments.filter(col("gold") =!= nil && col("pred") =!= nil)
-      .groupBy("gold", "pred").count().agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
-    val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
-    val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
-    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
-    PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
+    val keyCols = extraKeys.map(col)
+    val cells = assignments
+      .groupBy((keyCols :+ col("gold")) :+ col("pred"): _*)
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def total(df: DataFrame, groupCols: Seq[org.apache.spark.sql.Column]): Long =
+      df.groupBy(groupCols: _*).agg(sum(col("c")).as("n"))
+        .agg(coalesce(sum(pairsUdf(col("n"))), lit(0L))).head().getLong(0)
+    try {
+      val goldPairs = total(cells.filter(col("gold") =!= nil), keyCols :+ col("gold"))
+      val predPairs = total(cells.filter(col("pred") =!= nil), keyCols :+ col("pred"))
+      val tp = cells.filter(col("gold") =!= nil && col("pred") =!= nil)
+        .agg(coalesce(sum(pairsUdf(col("c"))), lit(0L))).head().getLong(0)
+      val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
+      val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
+      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
+    } finally cells.unpersist(blocking = false)
   }
 
   /** North-rule variant: pairwise F1 restricted to mention pairs that share a
     * blocking key ("pairwise F1 ≥ 0.99 on labeled pairs at identical blocking
     * keys", BASELINE.json). Within each key group the contingency arithmetic
     * runs per (key, gold, pred) — still no pair materialization. */
-  def pairwiseF1AtBlockingKey(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics = {
-    val pairsUdf = udf((n: Long) => pairs(n))
-    def total(df: DataFrame, groupCols: Seq[String]): Long =
-      df.groupBy(groupCols.map(col): _*).count()
-        .agg(coalesce(sum(pairsUdf(col("count"))), lit(0L))).head().getLong(0)
-    val goldPairs = total(assignments.filter(col("gold") =!= nil), Seq("blocking_key", "gold"))
-    val predPairs = total(assignments.filter(col("pred") =!= nil), Seq("blocking_key", "pred"))
-    val tp = total(assignments.filter(col("gold") =!= nil && col("pred") =!= nil),
-      Seq("blocking_key", "gold", "pred"))
-    val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
-    val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
-    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
-    PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
-  }
+  def pairwiseF1AtBlockingKey(assignments: DataFrame, nil: String = "Q100"): PairwiseMetrics =
+    pairwiseF1Grouped(assignments, Seq("blocking_key"), nil)
 
   /** Confusion-matrix counts (A4, `evaluation.py:123-172` minus plotting):
     * (y_true, y_pred, n) — pivot client-side if a matrix is wanted. */
