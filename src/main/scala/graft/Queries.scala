@@ -184,16 +184,26 @@ object Queries {
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 
-  /** Quality scoring: length, punctuation/digit/space ratios, mean word len. */
+  /** Quality scoring: length, alpha/digit/space ratios, and the stopword
+    * ratio (share of word tokens that are English function words — the
+    * classic gibberish/boilerplate signal). All ratios are integer basis
+    * points; the stopword filter is a codegen'd lambda over the token split,
+    * identical in the DuckDB oracle. */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
         length(col("text")).as("n_chars"),
         (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))).as("n_alpha"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
-        (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).as("n_space"))
+        (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).as("n_space"),
+        expr("size(filter(split(lower(text), '[^a-z]+'), w -> w <> ''))").as("n_words"),
+        expr("size(filter(split(lower(text), '[^a-z]+'), w -> w IN " +
+          "('the','a','an','and','of','in','to','is','was','for','on','with','as','at','by')))")
+          .as("n_stop"))
       .withColumn("alpha_bp", floor(lit(10000) * col("n_alpha") / col("n_chars")).cast("long"))
       .withColumn("digit_bp", floor(lit(10000) * col("n_digit") / col("n_chars")).cast("long"))
+      .withColumn("stop_bp",
+        floor(lit(10000) * col("n_stop") / greatest(col("n_words"), lit(1))).cast("long"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic: marker-token hit counts per candidate language,

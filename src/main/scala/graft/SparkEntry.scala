@@ -189,14 +189,18 @@ object SparkEntry {
         | LENGTH(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_quality" ->
-      """SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+      """SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_words, n_stop,
         | CAST(FLOOR(10000 * n_alpha / n_chars) AS BIGINT) AS alpha_bp,
-        | CAST(FLOOR(10000 * n_digit / n_chars) AS BIGINT) AS digit_bp
+        | CAST(FLOOR(10000 * n_digit / n_chars) AS BIGINT) AS digit_bp,
+        | CAST(FLOOR(10000 * n_stop / GREATEST(n_words, 1)) AS BIGINT) AS stop_bp
         |FROM (
         | SELECT doc_id, LENGTH(text) AS n_chars,
         |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
         |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
-        |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS n_space
+        |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS n_space,
+        |  LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+'), w -> w <> '')) AS n_words,
+        |  LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+'),
+        |    w -> w IN ('the','a','an','and','of','in','to','is','was','for','on','with','as','at','by'))) AS n_stop
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_doc_langid" ->
