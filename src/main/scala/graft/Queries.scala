@@ -356,6 +356,60 @@ object Queries {
       .orderBy("band", "bucket")
   }
 
+  /** Winnowed rolling-hash document fingerprint (the MOSS/winnowing shape):
+    * normalize → char-gram Rabin-Karp rolling hashes (k=8, base 31, mod
+    * 1e9+7, O(n) rolling update — each step subtracts the outgoing char's
+    * contribution and shifts in the incoming one) → per-window minima (w=4)
+    * → sorted distinct selected fingerprints, digested. Winnowing guarantees
+    * any shared substring of length ≥ k+w−1 yields a shared fingerprint, so
+    * overlap detection needs only the selected set, not all grams. The
+    * DuckDB oracle recomputes the identical values with a list_reduce fold
+    * per gram (same arithmetic, O(n·k) — fine at oracle scale). */
+  def docWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val k = 8
+    val w = 4
+    val winnow = udf((text: String) => {
+      val t = Option(text).getOrElse("").toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val cs = t.map(_.toLong).toArray
+      def fold(from: Int, until: Int): Long = {
+        var h = cs(from)
+        var i = from + 1
+        while (i < until) { h = (h * 31 + cs(i)) % M; i += 1 }
+        h
+      }
+      val grams: Array[Long] =
+        if (cs.length == 0) Array.empty
+        else if (cs.length < k) Array(fold(0, cs.length))
+        else {
+          // B = 31^(k-1) mod M: the outgoing char's positional weight
+          var b = 1L
+          (1 until k).foreach(_ => b = b * 31 % M)
+          val out = new Array[Long](cs.length - k + 1)
+          out(0) = fold(0, k)
+          var i = 1
+          while (i < out.length) {
+            val dropped = cs(i - 1) * b % M
+            out(i) = ((out(i - 1) + M - dropped) % M * 31 + cs(i + k - 1)) % M
+            i += 1
+          }
+          out
+        }
+      val wins: Array[Long] =
+        if (grams.length == 0) Array.empty
+        else if (grams.length < w) Array(grams.min)
+        else Array.tabulate(grams.length - w + 1)(j => grams.slice(j, j + w).min)
+      val sel = wins.distinct.sorted
+      (grams.length, sel.length,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(sel.mkString(",")))
+    })
+    t(spark, dir, "documents")
+      .select(col("doc_id"), winnow(col("text")).as("f"))
+      .select(col("doc_id"), col("f._1").as("n_grams"), col("f._2").as("n_selected"),
+        col("f._3").as("winnow_md5"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit frequency-weighted simhash as a 16-hex string (md5-derived token
     * hashes — the identical construction runs in the DuckDB oracle). */
   private val simhashHexUdf = udf((text: String) => {

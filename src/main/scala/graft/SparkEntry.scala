@@ -44,6 +44,7 @@ object SparkEntry {
     "q_doc_dedup_exact" -> (Queries.docDedupExact _),
     "q_doc_kmv_distinct" -> (Queries.docKmvDistinct _),
     "q_doc_fingerprint" -> (Queries.docFingerprint _),
+    "q_doc_winnow_fingerprint" -> (Queries.docWinnowFingerprint _),
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
     "q_doc_simhash" -> (Queries.docSimhash _),
@@ -233,6 +234,42 @@ object SparkEntry {
       """SELECT doc_id,
         | MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowed rolling-hash fingerprints: k=8 char grams (base-31 poly mod
+    // 1e9+7, re-derived per gram by a list_reduce fold — same values the
+    // Spark side computes with an O(n) rolling update), w=4 window minima,
+    // sorted distinct selection digested
+    "q_doc_winnow_fingerprint" ->
+      """WITH norm AS (
+        | SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        | FROM documents),
+        |codes AS (
+        | SELECT doc_id,
+        |  LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(t)),
+        |    i -> CAST(UNICODE(SUBSTR(t, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+        | FROM norm),
+        |grams AS (
+        | SELECT doc_id,
+        |  CASE WHEN LEN(cs) = 0 THEN CAST([] AS BIGINT[])
+        |       WHEN LEN(cs) < 8 THEN [LIST_REDUCE(cs, (a, b) -> (a * 31 + b) % 1000000007)]
+        |       ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 7),
+        |         i -> LIST_REDUCE(cs[CAST(i AS INT):CAST(i + 7 AS INT)],
+        |                (a, b) -> (a * 31 + b) % 1000000007))
+        |  END AS gs
+        | FROM codes),
+        |wins AS (
+        | SELECT doc_id, LEN(gs) AS n_grams,
+        |  CASE WHEN LEN(gs) = 0 THEN CAST([] AS BIGINT[])
+        |       WHEN LEN(gs) < 4 THEN [LIST_MIN(gs)]
+        |       ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(gs) - 3),
+        |         j -> LIST_MIN(gs[CAST(j AS INT):CAST(j + 3 AS INT)]))
+        |  END AS ws
+        | FROM grams),
+        |sel AS (
+        | SELECT doc_id, n_grams, LIST_SORT(LIST_DISTINCT(ws)) AS sl FROM wins)
+        |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+        | CAST(LEN(sl) AS INT) AS n_selected,
+        | MD5(ARRAY_TO_STRING(sl, ',')) AS winnow_md5
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "q_doc_shingle_jaccard" ->
       """WITH toks AS (
         | SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
