@@ -1100,6 +1100,45 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349` —
+    * `evaluate_subset_matching`), driver-visible: the stage-2 category
+    * blocker runs over every synthesized mention and one conditional-
+    * aggregate pass reports match coverage, matched/unmatched correctness,
+    * NIL false-positive counts, and the average search-space reduction
+    * (integer basis points over an exact sum, not a float avg — engine-
+    * stable). The oracle re-runs the whole aggregation from the dumped
+    * per-mention flags (the regex subset assignment itself is the
+    * Scala-kernel input, pinned by the category-blocking specs). */
+  def elBlockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    val nOntology = entries.size
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    val sub = pkel.blocking.CategoryBlocker.withSubsets(keyed, entries)
+    val gold = goldAssignments(spark, dir).select(col("mention_id"), col("gold").as("label"))
+    // drop the extractor's empty label column — the gold join provides it
+    val rows = sub.drop("label").join(gold, "mention_id").select(
+      col("mention_id"), col("label"),
+      coalesce(col("subset_matched"), lit(false)).as("matched"),
+      coalesce(size(col("subsetted_concepts")), lit(0)).as("n_subset"),
+      coalesce(array_contains(col("subsetted_concepts"), col("label")), lit(false)).as("hit"),
+      (col("label") === "Q100").as("is_nil"))
+    if (shouldDump(dir))
+      rows.write.mode("overwrite").parquet(oracleDump(dir) + "/blocking_quality")
+    rows.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+      sum(when(!col("matched"), 1L).otherwise(0L)).as("n_unmatched"),
+      sum(when(col("matched") && !col("is_nil") && col("hit"), 1L).otherwise(0L)).as("correct_matched"),
+      sum(when(!col("matched") && col("is_nil"), 1L).otherwise(0L)).as("correct_unmatched"),
+      sum(when(!col("is_nil"), 1L).otherwise(0L)).as("total_non_nil"),
+      sum(when(col("is_nil"), 1L).otherwise(0L)).as("total_nil"),
+      sum(when(col("is_nil") && col("matched"), 1L).otherwise(0L)).as("nil_with_subset"),
+      floor(lit(10000L) *
+        sum(when(col("n_subset") > 1, lit(nOntology) - col("n_subset")).otherwise(0L)) /
+        (greatest(sum(when(col("n_subset") > 1, 1L).otherwise(0L)), lit(1L)) * lit(nOntology.toLong)))
+        .cast("long").as("reduction_bp"))
+  }
+
   /** Multi-span mention extraction, driver-visible: a transcript corpus with
     * 30% multi-mention turns (second «…» spans) → every span extracted with
     * its 0-based span_idx and surface. The DuckDB oracle re-runs the WHOLE

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_el_confusion_norm" -> (Queries.elConfusionNorm _),
     "q_el_prompt_cost" -> (Queries.elPromptCost _),
     "q_el_spans" -> (Queries.elSpans _),
+    "q_el_blocking_quality" -> (Queries.elBlockingQuality _),
     "q_el_coverage" -> (Queries.elCoverage _))
 
   def oracleSql: Map[String, String] = Map(
@@ -419,6 +420,22 @@ object SparkEntry {
         |WHERE ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)), k ->
         |   CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))), 4) >= 0.25
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // blocking-quality counters (A5): the full conditional aggregation is
+    // re-run over the dumped per-mention subset flags; the reduction share
+    // is an exact integer-sum basis-point division on both sides
+    "q_el_blocking_quality" ->
+      """WITH b AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/blocking_quality/*.parquet'))
+        |SELECT COUNT(*) AS total,
+        | CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        | CAST(SUM(CASE WHEN NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        | CAST(SUM(CASE WHEN matched AND NOT is_nil AND hit THEN 1 ELSE 0 END) AS BIGINT) AS correct_matched,
+        | CAST(SUM(CASE WHEN NOT matched AND is_nil THEN 1 ELSE 0 END) AS BIGINT) AS correct_unmatched,
+        | CAST(SUM(CASE WHEN NOT is_nil THEN 1 ELSE 0 END) AS BIGINT) AS total_non_nil,
+        | CAST(SUM(CASE WHEN is_nil THEN 1 ELSE 0 END) AS BIGINT) AS total_nil,
+        | CAST(SUM(CASE WHEN is_nil AND matched THEN 1 ELSE 0 END) AS BIGINT) AS nil_with_subset,
+        | CAST(FLOOR(10000 * SUM(CASE WHEN n_subset > 1 THEN 75 - n_subset ELSE 0 END)
+        |   / (GREATEST(SUM(CASE WHEN n_subset > 1 THEN 1 ELSE 0 END), 1) * 75)) AS BIGINT) AS reduction_bp
+        |FROM b""".stripMargin,
     // multi-span extraction: the oracle re-extracts EVERY «…» span with its
     // 0-based index from the dumped raw turns — first-span-only or offset
     // bugs in the Scala extractor break the hash

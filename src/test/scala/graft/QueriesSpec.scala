@@ -44,6 +44,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("simhash banding recall: any pair within hamming 3 shares a band (pigeonhole)") {
+    // pure property of the 4×16-bit banding the near-dup query relies on:
+    // flipping ≤ 3 bits can touch at most 3 of the 4 bands, so at least one
+    // band stays identical — the band-equality join cannot miss such a pair
+    val rnd = new scala.util.Random(5)
+    def hex16(v: Long): String = f"$v%016x"
+    def bands(sig: String): Seq[String] = (0 until 4).map(b => sig.substring(b * 4, b * 4 + 4))
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong()
+      var b = a
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      (1 to flips).foreach(_ => b ^= (1L << rnd.nextInt(64)))
+      val shared = bands(hex16(a)).zip(bands(hex16(b))).exists { case (x, y) => x == y }
+      assert(shared, s"hamming<=3 pair missed by banding: ${hex16(a)} vs ${hex16(b)}")
+    }
+  }
+
   test("de-arrayified queries still return rows") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
