@@ -1100,6 +1100,55 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Retrieval metrics (A2, `evaluation.py:50-89`): MRR and Recall@k of the
+    * fuzzy tier's ranked candidates over the exact-tier residue, as exact
+    * integers (reciprocal ranks are summed as floor(1e6/pos) so the mean is
+    * engine-stable — a float avg would be partition-order-dependent). The
+    * ranked lists come from the spec-pinned fuzzy kernel; the dumped
+    * (mention_id, pos) table is the oracle's input and the aggregation is
+    * re-run in SQL. */
+  def elRetrievalMetrics(spark: SparkSession, dir: String, k: Int = 10,
+      threshold: Double = 50.0): DataFrame = {
+    val (entries, mentions) = synthMentions(spark, dir)
+    val index = Ontology.blockingIndex(entries)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    val exact = cachedDf(spark, dir, "el_exact") {
+      pkel.link.ExactLinker.link(spark, keyed, index, keepDebug = true)
+    }
+    val residue = pkel.blocking.CategoryBlocker.withSubsets(
+      exact.filter(col("status").isin(
+        pkel.link.ExactLinker.StatusAmbiguous, pkel.link.ExactLinker.StatusUnlinked))
+        .drop("y_pred", "status", "tier"), entries)
+    val fuzzy = pkel.link.FuzzyLinker.link(spark, residue, index, k, threshold)
+    val gold = goldAssignments(spark, dir).select(col("mention_id"), col("gold"))
+    val ranked = fuzzy.join(gold, "mention_id")
+      .select(col("mention_id"), col("gold"),
+        coalesce(array_position(col("pred_ids"), col("gold")), lit(0L)).as("pos"))
+    if (shouldDump(dir))
+      ranked.write.mode("overwrite").parquet(oracleDump(dir) + "/retrieval")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pos") > 0, floor(lit(1000000L) / col("pos")).cast("long")).otherwise(0L))
+        .as("sum_recip_micro"),
+      sum(when(col("pos") > 0, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n"), col("sum_recip_micro"), col("n_hit"),
+        floor(col("sum_recip_micro") / col("n")).cast("long").as("mrr_micro"),
+        floor(lit(10000L) * col("n_hit") / col("n")).cast("long").as("recall_bp"))
+  }
+
+  /** Misclassification listing (A3, `evaluation.py:92-120` — the reference
+    * prints the first `max_errors` y_true≠y_pred rows). Driver-visible with
+    * a DETERMINISTIC order (the reference's list order is input order; a
+    * distributed limit without a sort is partition-order-dependent, so the
+    * battery row orders by mention_id before limiting). Oracle re-derives
+    * the filter + order + limit from the dumped assignment table. */
+  def elErrors(spark: SparkSession, dir: String, maxErrors: Int = 100): DataFrame =
+    goldAssignments(spark, dir)
+      .filter(col("gold") =!= col("pred"))
+      .select(col("mention_id"), col("gold"), col("pred"))
+      .orderBy("mention_id")
+      .limit(maxErrors)
+
   /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349` —
     * `evaluate_subset_matching`), driver-visible: the stage-2 category
     * blocker runs over every synthesized mention and one conditional-

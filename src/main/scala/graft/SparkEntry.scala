@@ -74,6 +74,8 @@ object SparkEntry {
     "q_el_prompt_cost" -> (Queries.elPromptCost _),
     "q_el_spans" -> (Queries.elSpans _),
     "q_el_blocking_quality" -> (Queries.elBlockingQuality _),
+    "q_el_errors" -> ((s: SparkSession, d: String) => Queries.elErrors(s, d)),
+    "q_el_retrieval" -> ((s: SparkSession, d: String) => Queries.elRetrievalMetrics(s, d)),
     "q_el_coverage" -> (Queries.elCoverage _))
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +422,27 @@ object SparkEntry {
         |WHERE ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)), k ->
         |   CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))), 4) >= 0.25
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // retrieval metrics (A2): exact-integer MRR/recall aggregation re-run
+    // over the dumped (mention_id, gold, pos) ranked-hit table
+    "q_el_retrieval" ->
+      """WITH r AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/retrieval/*.parquet')),
+        |agg AS (
+        | SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pos > 0 THEN CAST(FLOOR(1000000 / pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_recip_micro,
+        |  CAST(SUM(CASE WHEN pos > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        | FROM r)
+        |SELECT n, sum_recip_micro, n_hit,
+        | CAST(FLOOR(sum_recip_micro / n) AS BIGINT) AS mrr_micro,
+        | CAST(FLOOR(10000 * n_hit / n) AS BIGINT) AS recall_bp
+        |FROM agg""".stripMargin,
+    // error listing (A3): filter + deterministic order + limit re-run over
+    // the dumped assignment table
+    "q_el_errors" ->
+      """SELECT mention_id, gold, pred
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')
+        |WHERE gold <> pred
+        |ORDER BY mention_id
+        |LIMIT 100""".stripMargin,
     // blocking-quality counters (A5): the full conditional aggregation is
     // re-run over the dumped per-mention subset flags; the reduction share
     // is an exact integer-sum basis-point division on both sides
