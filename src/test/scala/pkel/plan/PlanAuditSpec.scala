@@ -160,6 +160,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected window for row totals:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~50x the bytes of the rest — the exact shape a
+      // degenerate blocking key produces at transcript scale. Payloads are
+      // per-row md5 hex (incompressible): skew detection reads COMPRESSED
+      // shuffle sizes, and a repeated-char pad would lz4 away to nothing
+      def pad(i: Int) = org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString) * 4
+      val left = ((1 to 20000).map(i => (0L, pad(i))) ++
+        (1 to 400).map(i => ((i % 100).toLong + 1, pad(i))))
+        .toDF("k", "payload").repartition(8)
+      val right = (0 to 100).flatMap(k => (1 to 50).map(i => (k.toLong, i))).toDF("k", "v")
+        .repartition(8)
+      // aggregate the payload (so pruning cannot drop it before the join
+      // shuffle — the padding makes the hot partition big) with a GLOBAL
+      // aggregate: a groupBy on the join key would REQUIRE the join's hash
+      // partitioning downstream, and AQE declines to split a skewed
+      // partition when that would break a required distribution
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(finalPlan.contains("SortMergeJoin"), s"expected SMJ:\n${finalPlan.take(1500)}")
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen spans cover the relational battery") {
     // AQE finalizes the plan only on execution — run the query first
     val df = graft.Queries.aggPushdown(spark, sfDir)
