@@ -324,28 +324,35 @@ object Queries {
     * XOR-shifted md5 minhashes over word 3-gram shingles, 8 bands of 4, band
     * buckets with ≥2 members. Oracle-verified against the same construction
     * in SQL. */
-  def docMinhashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val mh = udf((text: String) => {
-      val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      val shingles = if (tokens.length < 3) Seq(tokens.mkString(" "))
-        else tokens.sliding(3).map(_.mkString(" ")).toSeq
-      val base = shingles.map(md5Hash64).toArray
-      val mins = Array.tabulate(32) { j =>
-        val r = minhashShifts(j)
-        var best = -1L // unsigned max
-        var i = 0
-        while (i < base.length) {
-          val h = base(i) ^ r
-          if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
-          i += 1
-        }
-        best
+  /** 32 XOR-shifted md5 minhashes over word 3-gram shingles, as hex16
+    * strings in function order — shared by the bucket and pair queries. */
+  private val minhashSigsUdf = udf((text: String) => {
+    val tokens = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val shingles = if (tokens.length < 3) Seq(tokens.mkString(" "))
+      else tokens.sliding(3).map(_.mkString(" ")).toSeq
+    val base = shingles.map(md5Hash64).toArray
+    (0 until 32).map { j =>
+      val r = minhashShifts(j)
+      var best = -1L // unsigned max
+      var i = 0
+      while (i < base.length) {
+        val h = base(i) ^ r
+        if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+        i += 1
       }
-      mins.grouped(4).map(band =>
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(band.map(hex16).mkString(","))).toSeq
-    })
+      hex16(best)
+    }
+  })
+
+  /** Band keys (8 bands of 4) from the signature array: md5 of the
+    * comma-joined hex16 minhashes — identical to the committed oracle. */
+  private val minhashBandsExpr =
+    expr("transform(sequence(0, 7), b -> md5(concat_ws(',', slice(sigs, b * 4 + 1, 4))))")
+
+  def docMinhashBuckets(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
+      .select(col("doc_id"), minhashSigsUdf(col("text")).as("sigs"))
+      .select(col("doc_id"), posexplode(minhashBandsExpr).as(Seq("band", "bucket")))
       .groupBy("band", "bucket").agg(collect_set("doc_id").as("doc_set"))
       .filter(size(col("doc_set")) > 1)
       // scalar output columns only: the driver's hash/sort comparator cannot
@@ -354,6 +361,31 @@ object Queries {
         size(col("doc_set")).as("n_docs"),
         concat_ws(",", array_sort(col("doc_set"))).as("docs"))
       .orderBy("band", "bucket")
+
+  /** MinHash candidate PAIRS with the estimated Jaccard (the step between
+    * bucketing and exact verification in an LSH dedup pipeline): band
+    * collisions propose pairs, the signature agreement rate estimates
+    * Jaccard without touching the documents — at 100 TB this ranks
+    * candidates for exact verification at signature cost, never text cost.
+    * Bucketed join, oversize buckets excluded via the same >1-member groups
+    * the bucket query reports. */
+  def docMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = t(spark, dir, "documents")
+      .select(col("doc_id"), minhashSigsUdf(col("text")).as("sigs"))
+    val banded = sigs.select(col("doc_id"), col("sigs"),
+      posexplode(minhashBandsExpr).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_equal",
+        expr("size(filter(zip_with(sigs_a, sigs_b, (x, y) -> x = y), v -> v))"))
+      .withColumn("est_jaccard_bp", floor(lit(10000) * col("n_equal") / 32).cast("long"))
+      .select("doc_a", "doc_b", "n_equal", "est_jaccard_bp")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Winnowed rolling-hash document fingerprint (the MOSS/winnowing shape):

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_doc_winnow_fingerprint" -> (Queries.docWinnowFingerprint _),
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
+    "q_doc_minhash_pairs" -> (Queries.docMinhashPairs _),
     "q_doc_simhash" -> (Queries.docSimhash _),
     "q_doc_simhash_neardup" -> ((s: SparkSession, d: String) => Queries.docSimhashNearDup(s, d)),
     "q_stream_dedup" -> (Queries.streamDedupExact _),
@@ -366,6 +367,39 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(hexes.simhash_hex, '0000000000000000') AS simhash_hex
         |FROM documents d LEFT JOIN hexes ON hexes.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // minhash candidate pairs: band collisions propose (a, b), estimated
+    // Jaccard = minhash agreement rate — identical construction in SQL
+    "q_doc_minhash_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id,
+        |  ('0x' || SUBSTR(MD5(UNNEST(CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+        |   ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2), i -> ARRAY_TO_STRING(w[i:i+2], ' ')) END)), 1, 16))::UBIGINT AS h
+        | FROM toks),
+        |shifts AS (SELECT j, ('0x' || SUBSTR(MD5(j::VARCHAR), 1, 16))::UBIGINT AS r FROM RANGE(0, 32) t(j)),
+        |mh AS (
+        | SELECT doc_id, s.j, MIN(XOR(sh.h, s.r)) AS m
+        | FROM sh, shifts s
+        | GROUP BY doc_id, s.j),
+        |bands AS (
+        | SELECT doc_id, (j // 4) AS band,
+        |  MD5(STRING_AGG(LPAD(LOWER(HEX(m)), 16, '0'), ',' ORDER BY j)) AS bucket
+        | FROM mh GROUP BY doc_id, (j // 4)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |eq AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS INT) AS n_equal
+        | FROM cand c
+        | JOIN mh ma ON ma.doc_id = c.doc_a
+        | JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, n_equal,
+        | CAST(FLOOR(10000 * n_equal / 32) AS BIGINT) AS est_jaccard_bp
+        |FROM eq ORDER BY doc_a, doc_b""".stripMargin,
     // simhash near-dup: identical signature construction, then 4×16-bit band
     // blocking (pigeonhole-complete for hamming ≤ 3) + exact nibble-XOR
     // popcount hamming, duplicates across bands collapsed
