@@ -245,8 +245,12 @@ object Queries {
       .orderBy("doc_id")
 
   /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
-    * join → |∩|/|∪| ≥ threshold. Shingles are md5-hashed so the join key is
-    * fixed-width (at 100 TB the shingle join shuffles hashes, not text).
+    * join → |∩|/|∪| ≥ threshold. Shingles are hashed to a 60-bit BIGINT
+    * (first 15 hex chars of md5 — always fits a signed 64-bit value, so the
+    * identical `('0x'||substr(md5,1,15))` construction is exact in the
+    * DuckDB oracle) so the join key is 8 bytes, not a 32-char hex string:
+    * at 100 TB the shingle self-join shuffles fixed-width integers, ~4×
+    * fewer key bytes through both exchanges than the md5-string first cut.
     *
     * Scale guard: shingles whose document frequency exceeds `dfCap` are
     * dropped before the self-join (a stop-word-ish shingle shared by N docs
@@ -261,7 +265,7 @@ object Queries {
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 3, 1)), " +
-            "i -> md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))))")).as("shingle"))
+            "i -> cast(conv(substring(md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))), 1, 15), 16, 10) as bigint))")).as("shingle"))
       .distinct()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // df cap via a count window: one exchange on the join key (which the
@@ -1355,6 +1359,77 @@ object Queries {
         floor(lit(10000) * col("n_params_seen") / col("n_params_total")).cast("long"))
       .select("category_id", "n_params_seen", "n_params_total", "coverage_bp", "n_mentions")
       .orderBy("category_id")
+  }
+
+  /** Combined per-split analysis table (`data_exploration.py:46-101`:
+    * `get_single_label_stats` + `generate_analysis_results` side by side —
+    * the per-split table the reference prints but never materializes).
+    * Splits are a deterministic 3-way hash partition of mentions
+    * (train/validation/test-shaped, `pmod(mention_id, 3)` — re-derivable by
+    * the oracle from the dumped assignment table). The synthetic NIL
+    * category row per split IS `get_single_label_stats(label_id="Q100")`. */
+  def elAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val entries = synthMentions(spark, dir)._1
+    if (shouldDump(dir))
+      pkel.train.ContrastivePairs.ontologyDim(spark, entries)
+        .select("parameter_id", "category_id")
+        .write.mode("overwrite").parquet(oracleDump(dir) + "/analysis_dim")
+    val tagged = goldAssignments(spark, dir)
+      .withColumn("split",
+        element_at(array(lit("test"), lit("train"), lit("validation")),
+          (pmod(col("mention_id"), lit(3)) + 1).cast("int")))
+      .select(col("split"), col("gold").as("label"))
+    pkel.eval.Metrics.analysisResultsSplit(spark, tagged, entries)
+  }
+
+  /** Bi-encoder threshold sweep as one driver row per threshold (K6,
+    * `tune_biencoder_linker.py:36`): the retrieval kernel runs ONCE at the
+    * loosest threshold with the full in-constraint top-k dumped per mention;
+    * every sweep point is then a purely RELATIONAL re-derivation — first
+    * rank-ordered candidate with score ≥ t, else NIL — which is exactly what
+    * the DuckDB oracle re-runs over the dumped top-k. One kernel pass for
+    * the whole curve instead of |thresholds| passes (the shape a 100 TB
+    * tuning sweep needs: encode once, sweep relationally). */
+  def elBiencoderSweep(spark: SparkSession, dir: String,
+      thresholdsBp: Seq[Long] = Seq(5000L, 6000L, 7000L, 7500L, 8000L, 9000L)): DataFrame = {
+    import spark.implicits._
+    val (entries, mentions) = synthMentions(spark, dir)
+    val index = Ontology.blockingIndex(entries)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    val exact = cachedDf(spark, dir, "el_exact") {
+      pkel.link.ExactLinker.link(spark, keyed, index, keepDebug = true)
+    }
+    val residue = pkel.blocking.CategoryBlocker.withSubsets(
+      exact.filter(col("status").isin(
+        pkel.link.ExactLinker.StatusAmbiguous, pkel.link.ExactLinker.StatusUnlinked))
+        .drop("y_pred", "status", "tier"), entries)
+    // loosest threshold: the filtered list is top-k ∩ constraint in rank
+    // order with non-increasing scores, so score-only prefix filtering
+    // reproduces ANY threshold's (y_pred, status) exactly
+    val ranked = pkel.link.BiencoderLinker.link(spark, residue, entries,
+      featureCol = "mention", k = 5, matchThreshold = -1.0)
+      .join(goldAssignments(spark, dir).select(col("mention_id"), col("gold")), "mention_id")
+      .select(col("mention_id"), col("gold"), col("pred_ids"), col("pred_scores"))
+    if (shouldDump(dir))
+      ranked.write.mode("overwrite").parquet(oracleDump(dir) + "/biencoder_topk")
+    // the filtered list is rank-ordered with non-increasing scores and the
+    // category constraint is threshold-independent, so pred(t) is simply
+    // head-if-it-passes: when the top candidate's score misses t, so does
+    // every other candidate's
+    val curve = ranked
+      .crossJoin(broadcast(thresholdsBp.toDF("threshold_bp")))
+      .withColumn("pred", when(
+        element_at(col("pred_scores"), 1) >= col("threshold_bp") / lit(10000.0) &&
+          element_at(col("pred_ids"), 1) =!= "Q100",
+        element_at(col("pred_ids"), 1)).otherwise(lit("Q100")))
+      .groupBy("threshold_bp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") =!= "Q100", 1L).otherwise(0L)).as("linked"),
+        sum(when(col("pred") === "Q100", 1L).otherwise(0L)).as("residue"),
+        sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("correct"))
+      .withColumn("micro_f1_bp",
+        floor(lit(10000) * col("correct") / col("n")).cast("long"))
+    curve.orderBy("threshold_bp")
   }
 
   /** End-to-end clustering: cluster size distribution. Hash-verified: the

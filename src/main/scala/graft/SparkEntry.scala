@@ -77,7 +77,9 @@ object SparkEntry {
     "q_el_blocking_quality" -> (Queries.elBlockingQuality _),
     "q_el_errors" -> ((s: SparkSession, d: String) => Queries.elErrors(s, d)),
     "q_el_retrieval" -> ((s: SparkSession, d: String) => Queries.elRetrievalMetrics(s, d)),
-    "q_el_coverage" -> (Queries.elCoverage _))
+    "q_el_coverage" -> (Queries.elCoverage _),
+    "q_el_analysis" -> (Queries.elAnalysis _),
+    "q_el_biencoder_sweep" -> ((s: SparkSession, d: String) => Queries.elBiencoderSweep(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" ->
@@ -280,7 +282,7 @@ object SparkEntry {
         |sh AS (
         | SELECT DISTINCT doc_id,
         |  UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(w) - 3, 1)),
-        |    i -> MD5(ARRAY_TO_STRING(w[i:i+3], ' ')))) AS shingle
+        |    i -> ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(w[i:i+3], ' ')), 1, 15))::BIGINT)) AS shingle
         | FROM toks),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
@@ -828,6 +830,53 @@ object SparkEntry {
         | s.n_mentions
         |FROM seen s JOIN tot t USING (category_id)
         |ORDER BY s.category_id""".stripMargin,
+    // combined per-split EDA: category coverage + label-mass distribution +
+    // canonicalized per-category label counter, one row per (split, category);
+    // the split is re-derived from mention_id % 3 and the NIL row reproduces
+    // get_single_label_stats(Q100)
+    "q_el_analysis" ->
+      """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pairwise_assignments/*.parquet')),
+        |dim AS (
+        | SELECT category_id AS category, parameter_id
+        | FROM read_parquet('/tmp/graft_oracle/sf0.01/analysis_dim/*.parquet')
+        | UNION ALL SELECT 'NIL', 'Q100'),
+        |lab AS (
+        | SELECT CASE (mention_id % 3) WHEN 0 THEN 'test' WHEN 1 THEN 'train'
+        |        ELSE 'validation' END AS split,
+        |        gold AS parameter_id
+        | FROM a WHERE gold IS NOT NULL),
+        |tot AS (SELECT split, COUNT(*) AS total_labels FROM lab GROUP BY split),
+        |cnt AS (SELECT split, parameter_id, COUNT(*) AS n_labels FROM lab GROUP BY split, parameter_id),
+        |sd AS (SELECT t.split, t.total_labels, d.category, d.parameter_id FROM tot t CROSS JOIN dim d),
+        |j AS (SELECT sd.split, sd.category, sd.total_labels, sd.parameter_id,
+        |             COALESCE(c.n_labels, 0) AS n_labels
+        |      FROM sd LEFT JOIN cnt c ON c.split = sd.split AND c.parameter_id = sd.parameter_id)
+        |SELECT split, category,
+        | CAST(COUNT(*) AS BIGINT) AS total_params,
+        | CAST(SUM(CASE WHEN n_labels > 0 THEN 1 ELSE 0 END) AS BIGINT) AS covered_params,
+        | CAST(FLOOR(10000 * SUM(CASE WHEN n_labels > 0 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS coverage_bp,
+        | CAST(SUM(n_labels) AS BIGINT) AS label_count,
+        | CAST(FLOOR(10000 * SUM(n_labels) / GREATEST(MAX(total_labels), 1)) AS BIGINT) AS distribution_bp,
+        | COALESCE(STRING_AGG(parameter_id || ':' || n_labels, ',' ORDER BY n_labels DESC, parameter_id)
+        |   FILTER (WHERE n_labels > 0), '') AS param_counts
+        |FROM j GROUP BY split, category ORDER BY split, category""".stripMargin,
+    // bi-encoder threshold sweep re-derived relationally from the dumped
+    // in-constraint top-k: scores are rank-ordered non-increasing, so each
+    // threshold's prediction is head-if-it-passes, else NIL
+    "q_el_biencoder_sweep" ->
+      """WITH tk AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/biencoder_topk/*.parquet')),
+        |thr AS (SELECT UNNEST([5000, 6000, 7000, 7500, 8000, 9000]) AS threshold_bp),
+        |p AS (
+        | SELECT t.threshold_bp, tk.gold,
+        |  CASE WHEN tk.pred_scores[1] >= t.threshold_bp / 10000.0 AND tk.pred_ids[1] <> 'Q100'
+        |       THEN tk.pred_ids[1] ELSE 'Q100' END AS pred
+        | FROM tk CROSS JOIN thr t)
+        |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN pred <> 'Q100' THEN 1 ELSE 0 END) AS BIGINT) AS linked,
+        | CAST(SUM(CASE WHEN pred = 'Q100' THEN 1 ELSE 0 END) AS BIGINT) AS residue,
+        | CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        | CAST(FLOOR(10000 * SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS micro_f1_bp
+        |FROM p GROUP BY threshold_bp ORDER BY threshold_bp""".stripMargin,
     // the north-rule metric, recomputed independently: pairwise cluster
     // P/R/F1 from C(n,2) contingency arithmetic over the dumped assignments
     "q_el_pairwise_f1" ->

@@ -122,16 +122,33 @@ object Pipeline {
     * practice, but at ~10^10 mentions the birthday bound admits a handful of
     * collisions, and a single collision silently merges two clusters in the
     * CC stage. One cheap aggregate (distinct ids vs distinct source triples)
-    * turns that silent corruption into a loud stage failure. */
+    * turns that silent corruption into a loud stage failure.
+    *
+    * The pipeline does NOT call this as a standalone action: [[mentionIdAudit]]
+    * folds the same two countDistincts into the stage-1 commit's row-count
+    * job (see `StageStore.Audit`), so the audit shares the metrics pass
+    * instead of re-scanning mentions. This method stays for auditing a
+    * mention table outside a `StageStore` commit. */
   def auditMentionIds(mentions: DataFrame): Unit = {
     val r = mentions.agg(
       countDistinct(col("mention_id")).as("ids"),
       countDistinct(col("conv_id"), col("turn_idx"), col("span_idx")).as("triples")).head()
-    val (ids, triples) = (r.getLong(0), r.getLong(1))
+    checkMentionIds(r.getLong(0), r.getLong(1))
+  }
+
+  private def checkMentionIds(ids: Long, triples: Long): Unit =
     require(ids == triples,
       s"mention_id hash collision: $ids distinct ids for $triples distinct " +
         "(conv_id, turn_idx, span_idx) triples — rerun with a salted id derivation")
-  }
+
+  /** The collision audit as a commit-time rider: the two countDistincts join
+    * the stage-1 commit's `count(*)` in ONE aggregate job (row layout:
+    * rows_total, ids, triples). A collision vetoes the commit, so a bad
+    * mention table is never resumable. */
+  val mentionIdAudit: pkel.io.StageStore.Audit = pkel.io.StageStore.Audit(
+    Seq(countDistinct(col("mention_id")).as("ids"),
+      countDistinct(col("conv_id"), col("turn_idx"), col("span_idx")).as("triples")),
+    r => checkMentionIds(r.getLong(1), r.getLong(2)))
 
   /** Run the full pipeline. `gold` (mention_id, gold) is optional — when
     * present the summary carries pairwise F1 vs gold. */
@@ -141,11 +158,11 @@ object Pipeline {
 
     // stage 1: mention extraction under stable conversation ordering; the id
     // audit fails the stage on a (birthday-bound) hash collision instead of
-    // letting it silently merge clusters downstream
-    val mentions = io.readOrCompute("mentions", fp(cfg, "m")) {
+    // letting it silently merge clusters downstream — folded into the
+    // commit's row-count job, not a separate pass over mentions
+    val mentions = io.readOrCompute("mentions", fp(cfg, "m"), Some(mentionIdAudit)) {
       extractMentions(transcripts)
     }
-    auditMentionIds(mentions)
 
     // stage 2: normalization + blocking keys
     val keyed = io.readOrCompute("keyed", fp(cfg, "k")) {
@@ -190,11 +207,14 @@ object Pipeline {
     }
 
     // stage 7: connected components (large-star / small-star); iteration
-    // state checkpoints durably under the run's own root so an executor loss
-    // mid-fixpoint resumes from parquet, not from a full recompute
+    // state checkpoints durably under the run's own root so a killed JVM or
+    // lost executor mid-fixpoint RESUMES from the last durable iterate, not
+    // from a full recompute. The checkpoint dir is scoped by the stage
+    // fingerprint: CC resume is only valid against the identical edge set,
+    // so a config change can never pick up a stale iterate.
     val components = io.readOrCompute("components", fp(cfg, "c")) {
       ConnectedComponents.run(spark, edges,
-        checkpointDir = Some(s"${io.root}/_cc_checkpoints"))
+        checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"))
     }
 
     // stage 8: cluster assignment (singletons = own cluster). Mentions the

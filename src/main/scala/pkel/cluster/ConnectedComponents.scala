@@ -131,11 +131,39 @@ object ConnectedComponents {
         out
       case _ => df.localCheckpoint(true)
     }
-    var edges = materialize(
+    // RESUME: a durable `cc_iter_N` left by a killed run is a star-transformed
+    // edge set with the SAME components as the input (every iteration
+    // preserves component structure), so the fixpoint restarts from it
+    // instead of from iteration 0. Only checkpoints with a _SUCCESS marker
+    // count — a write the kill interrupted is invisible, and the previous
+    // complete checkpoint (deleted only after its successor is fully written)
+    // carries the resume. Callers must scope `checkpointDir` to the edge
+    // set's identity (the pipeline keys it by stage fingerprint) so a stale
+    // checkpoint from different edges can never be picked up.
+    val resumed: Option[(DataFrame, Int)] = checkpointDir.flatMap { dir =>
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dp)) None
+      else {
+        val iters = fs.listStatus(dp).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("cc_iter_") &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(p => (p.getName.stripPrefix("cc_iter_").toInt, p.toString))
+        if (iters.isEmpty) None
+        else {
+          val (it, p) = iters.maxBy(_._1)
+          prevDurable = Some(p)
+          Some((spark.read.parquet(p), it))
+        }
+      }
+    }
+    val startIt = resumed.map(_._2).getOrElse(0)
+    var edges = resumed.map(_._1).getOrElse(materialize(
       edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-        .distinct(), 0)
+        .distinct(), 0))
     var sig = signature(edges)
     if (sig._1 <= smallGraphThreshold) {
       import spark.implicits._
@@ -144,7 +172,10 @@ object ConnectedComponents {
       return (unionFind(rows).toSeq.toDF("node", "root"), 0)
     }
     var converged = false
-    var it = 0
+    // the counter resumes too: the next durable write lands on a FRESH
+    // cc_iter_N (overwriting the iterate being read would self-destruct),
+    // and prior iterations count against maxIterations
+    var it = startIt
     while (!converged && it < maxIterations) {
       it += 1
       val next = materialize(smallStar(largeStar(edges)), it)

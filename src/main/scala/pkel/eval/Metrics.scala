@@ -223,6 +223,70 @@ object Metrics {
       .orderBy("category")
   }
 
+  /** Combined per-split analysis table (A6, `data_exploration.py:46-101`:
+    * `get_single_label_stats` + `generate_analysis_results` assembled side by
+    * side — the reference computes these per split and prints them; this is
+    * the combined table it never materializes). Grain: (split, category).
+    * Columns per row:
+    *  - total_params / covered_params / coverage_bp — the category-coverage
+    *    part (`:68-101` `coverage_pct`, integer basis points);
+    *  - label_count / distribution_bp — the category's share of the split's
+    *    label mass (`distribution_pct`);
+    *  - param_counts — the per-category label Counter (`parameter_counts`),
+    *    canonicalized to "id:n" CSV ordered by (count desc, id asc) so it is
+    *    one deterministic scalar column;
+    *  - the synthetic NIL category (`category_to_params["NIL"] = {"Q100"}`,
+    *    `:38`) reproduces `get_single_label_stats(label_id="Q100")` exactly:
+    *    its label_count/distribution_bp ARE the Q100 count and percentage.
+    *
+    * One union + two shuffles (per-(split,param) counts, then per-(split,
+    * category) rollup) regardless of split count; the category dim is
+    * crossed per split driver-side (|splits| × |ontology| rows, trivially
+    * broadcast), so empty categories still appear for every split. */
+  def analysisResults(spark: SparkSession, splits: Seq[(String, DataFrame)],
+      entries: Seq[pkel.model.OntologyEntry], labelCol: String = "label"): DataFrame = {
+    require(splits.nonEmpty, "analysisResults needs at least one split")
+    val labeled = splits.map { case (name, df) =>
+      df.select(lit(name).as("split"), col(labelCol).as("label"))
+    }.reduce(_ unionByName _)
+    analysisResultsSplit(spark, labeled, entries)
+  }
+
+  /** Same table over an already-split-tagged label DataFrame (columns
+    * `splitCol`, `labelCol`) — one pass over the data however many splits
+    * the tag column carries. */
+  def analysisResultsSplit(spark: SparkSession, taggedLabels: DataFrame,
+      entries: Seq[pkel.model.OntologyEntry], splitCol: String = "split",
+      labelCol: String = "label"): DataFrame = {
+    import spark.implicits._
+    val dim = (entries.map(e => (e.categoryId, e.parameterId)) :+ (("NIL", "Q100")))
+      .toDF("category", "parameter_id")
+    val labeled = taggedLabels
+      .select(col(splitCol).as("split"), col(labelCol).as("parameter_id"))
+      .filter(col("parameter_id").isNotNull)
+    val totals = labeled.groupBy("split").agg(count(lit(1)).as("total_labels"))
+    val counts = labeled.groupBy("split", "parameter_id").agg(count(lit(1)).as("n_labels"))
+    val splitDim = broadcast(totals.crossJoin(dim)) // |splits| × |ontology|: tiny
+    splitDim.join(counts, Seq("split", "parameter_id"), "left")
+      .na.fill(0L, Seq("n_labels"))
+      .groupBy("split", "category", "total_labels")
+      .agg(
+        count(lit(1)).as("total_params"),
+        sum(when(col("n_labels") > 0, 1L).otherwise(0L)).as("covered_params"),
+        sum(col("n_labels")).as("label_count"),
+        concat_ws(",", transform(
+          array_sort(collect_list(when(col("n_labels") > 0,
+            struct((-col("n_labels")).as("neg"), col("parameter_id").as("pid"))))),
+          s => concat(s("pid"), lit(":"), (-s("neg")).cast("string")))).as("param_counts"))
+      .withColumn("coverage_bp",
+        floor(lit(10000) * col("covered_params") / col("total_params")).cast("long"))
+      .withColumn("distribution_bp",
+        floor(lit(10000) * col("label_count") / greatest(col("total_labels"), lit(1L))).cast("long"))
+      .select("split", "category", "total_params", "covered_params", "coverage_bp",
+        "label_count", "distribution_bp", "param_counts")
+      .orderBy("split", "category")
+  }
+
   /** Blocking-quality counters (A5, `ontology_preprocessing.py:252-349`):
     * one conditional-aggregate pass. Input columns: label, subset_matched,
     * subsetted_concepts (array), category of label via paramToCategory map. */

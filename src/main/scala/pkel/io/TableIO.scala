@@ -39,14 +39,30 @@ trait StageStore {
   protected def committedLocation(stage: String): String
 
   /** Write `df` as the committed output of `stage` (overwrites any partial
-    * previous attempt), record metrics, return the re-read DataFrame. */
-  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame
+    * previous attempt), record metrics, return the re-read DataFrame. An
+    * optional [[StageStore.Audit]] folds extra aggregate checks into the
+    * commit's row-count action (zero additional Spark jobs). */
+  def commit(stage: String, df: DataFrame, fingerprint: String,
+      audit: Option[StageStore.Audit] = None): DataFrame
 
   /** Idempotent stage execution: replay from the committed snapshot when the
-    * fingerprint matches, else compute + commit. */
-  final def readOrCompute(stage: String, fingerprint: String)(compute: => DataFrame): DataFrame =
+    * fingerprint matches, else compute + commit. Audits run at commit time
+    * only — a committed snapshot has already passed its audit. */
+  final def readOrCompute(stage: String, fingerprint: String,
+      audit: Option[StageStore.Audit] = None)(compute: => DataFrame): DataFrame =
     if (isCommitted(stage, fingerprint)) spark.read.parquet(committedLocation(stage))
-    else commit(stage, compute, fingerprint)
+    else commit(stage, compute, fingerprint, audit)
+
+  /** One action for total-rows + audit aggregates: `count(*)` at index 0,
+    * the audit's columns after it. The audit's `check` fails the commit
+    * before the marker/pointer write, so a failed audit leaves the stage
+    * uncommitted (the next run recomputes instead of resuming bad data). */
+  protected def countAndAudit(out: DataFrame, audit: Option[StageStore.Audit]): Long = {
+    val aggCols = count(lit(1)).as("rows_total") +: audit.map(_.aggs).getOrElse(Seq.empty)
+    val row = out.agg(aggCols.head, aggCols.tail: _*).head()
+    audit.foreach(_.check(row))
+    row.getLong(0)
+  }
 
   protected def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,6 +101,14 @@ trait StageStore {
 }
 
 object StageStore {
+  /** Commit-time audit: `aggs` ride the SAME `agg()` as the commit's total
+    * row count (one Spark job for both), `check` receives the aggregate row
+    * with `rows_total` at index 0 followed by `aggs` in order and throws to
+    * veto the commit. This is how the pipeline's mention-id collision audit
+    * shares the stage-1 metrics pass instead of running its own job. */
+  final case class Audit(aggs: Seq[org.apache.spark.sql.Column],
+      check: org.apache.spark.sql.Row => Unit)
+
   /** Config-selected backend — the "Iceberg swap is config-only" seam. */
   def forBackend(backend: String, spark: SparkSession, root: String, runId: String): StageStore =
     backend match {
@@ -109,12 +133,13 @@ final class TableIO(protected val spark: SparkSession, val root: String,
     readSmallFile(markerPath(stage))
       .exists(_.linesIterator.exists(_ == s"fingerprint=$fingerprint"))
 
-  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame = {
+  def commit(stage: String, df: DataFrame, fingerprint: String,
+      audit: Option[StageStore.Audit] = None): DataFrame = {
     val dir = stageDir(stage)
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
-    val rows = out.count()
+    val rows = countAndAudit(out, audit)
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeMetrics(stage, out, rows, wallMs)
     writeSmallFile(markerPath(stage),
@@ -160,12 +185,13 @@ final class CatalogTableIO(protected val spark: SparkSession, val root: String,
         p.get("location").exists(loc => fs(new Path(loc)).exists(new Path(loc)))
     }
 
-  def commit(stage: String, df: DataFrame, fingerprint: String): DataFrame = {
+  def commit(stage: String, df: DataFrame, fingerprint: String,
+      audit: Option[StageStore.Audit] = None): DataFrame = {
     val dir = snapDir(stage, fingerprint)
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
-    val rows = out.count()
+    val rows = countAndAudit(out, audit)
     val wallMs = (System.nanoTime() - t0) / 1000000
     writeMetrics(stage, out, rows, wallMs)
     writeSmallFile(pointerPath(stage), toJson(Seq(

@@ -61,14 +61,25 @@ object PromptCost {
 
   /** Prompt-token count of the full assembled prompt for one mention —
     * the reference's `len(encoding.encode(system + "\n" + user))`. */
-  def promptTokens(mention: String, systemPrompt: String, kbBlock: String): Int =
+  def promptTokens(mention: String, systemPrompt: String, kbBlock: String,
+      context: Option[String] = None, examples: Option[String] = None): Int =
     countTokens(systemPrompt + "\n" +
-      PromptLinker.genUserPrompt(Option(mention).getOrElse(""), kbBlock))
+      PromptLinker.genUserPrompt(Option(mention).getOrElse(""), kbBlock, context, examples))
 
   /** Token count of the prompt scaffolding alone (empty mention): the
     * additive base every mention's count builds on. */
   def baseTokens(systemPrompt: String, kbBlock: String): Int =
     promptTokens("", systemPrompt, kbBlock)
+
+  /** Scaffolding token count for an ablation-grid cell: empty mention, the
+    * variant's system prompt and few-shot block, and — when the variant
+    * carries context — an EMPTY context so the context section's own
+    * `---/Context:` scaffolding is in the base (the per-row context text
+    * then adds on top, same additivity as the mention). */
+  def baseTokensVariant(variant: PromptLinker.Variant, kbBlock: String): Int =
+    promptTokens("", variant.systemPrompt, kbBlock,
+      context = if (variant.useContext) Some("") else None,
+      examples = variant.examples)
 
   /** Nanodollar cost of one example (`prompt_linker.py:462-464`):
     * prompt tokens at the prompt rate + estimated completion tokens at the
@@ -91,12 +102,35 @@ object PromptCost {
       model: String, featureCol: String = "mention",
       systemPrompt: String = PromptLinker.SystemPromptStandard,
       estCompletionTokens: Int = 7): DataFrame = {
-    val (pRate, cRate) = ratesNanos(model)
     val base = baseTokens(systemPrompt, Ontology.formatForLlm(entries))
-    val toks = (lit(base.toLong) +
-      size(regexp_extract_all(coalesce(col(featureCol), lit("")),
-        lit(TokenPattern), lit(0))).cast("long")).as("prompt_tokens")
-    mentions.select(toks)
+    val toks = lit(base.toLong) + colTokens(featureCol)
+    summarize(mentions, toks, model, estCompletionTokens)
+  }
+
+  /** Cost estimate for one prompt-ablation cell ([[PromptLinker.Variant]]):
+    * base covers the variant's system prompt + few-shot block + section
+    * scaffolding; each row adds its mention tokens and — for context
+    * variants — its context-column tokens. Same codegen-only shape as
+    * [[estimate]]: one `regexp_extract_all` count per text column, one
+    * aggregate, no per-row prompt assembly. */
+  def estimateVariant(spark: SparkSession, mentions: DataFrame, entries: Seq[OntologyEntry],
+      model: String, variant: PromptLinker.Variant, featureCol: String = "mention",
+      contextCol: String = "text", estCompletionTokens: Int = 7): DataFrame = {
+    val base = baseTokensVariant(variant, Ontology.formatForLlm(entries))
+    val toks =
+      if (variant.useContext) lit(base.toLong) + colTokens(featureCol) + colTokens(contextCol)
+      else lit(base.toLong) + colTokens(featureCol)
+    summarize(mentions, toks, model, estCompletionTokens)
+  }
+
+  /** Codegen'd token count of a text column (the regex stand-in). */
+  private def colTokens(c: String) =
+    size(regexp_extract_all(coalesce(col(c), lit("")), lit(TokenPattern), lit(0))).cast("long")
+
+  private def summarize(mentions: DataFrame, toks: org.apache.spark.sql.Column,
+      model: String, estCompletionTokens: Int): DataFrame = {
+    val (pRate, cRate) = ratesNanos(model)
+    mentions.select(toks.as("prompt_tokens"))
       .agg(count(lit(1)).as("total_examples"),
         sum(col("prompt_tokens")).as("total_prompt_tokens"))
       .select(

@@ -101,6 +101,48 @@ class TranscriptPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("collision"))
   }
 
+  test("folded stage-1 audit: fewer Spark jobs than commit + separate audit, and vetoes bad commits") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val t = TranscriptSynth.generate(spark, entries, nConvs = 40, seed = 5L)
+    val mentions = Pipeline.extractMentions(t)
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        org.apache.spark.sql.pkelbridge.Bridge.waitForListeners(spark)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get()
+    }
+    val rootA = Files.createTempDirectory("pkel_audit_sep_").toString
+    val separate = jobsDuring {
+      val out = new TableIO(spark, rootA, "sep").commit("mentions", mentions, "f")
+      Pipeline.auditMentionIds(out)
+    }
+    val rootB = Files.createTempDirectory("pkel_audit_fold_").toString
+    val folded = jobsDuring {
+      new TableIO(spark, rootB, "fold")
+        .commit("mentions", mentions, "f", Some(Pipeline.mentionIdAudit))
+    }
+    info(s"jobs: separate-audit=$separate folded-audit=$folded")
+    assert(folded < separate,
+      s"folded audit should save at least one Spark job ($folded vs $separate)")
+    // a collision vetoes the commit BEFORE the marker write: the stage is not
+    // resumable with corrupt ids
+    val collided = Seq((1L, "c1", 0, 0), (1L, "c2", 0, 0))
+      .toDF("mention_id", "conv_id", "turn_idx", "span_idx")
+    val rootC = Files.createTempDirectory("pkel_audit_veto_").toString
+    val ioC = new TableIO(spark, rootC, "veto")
+    val e = intercept[IllegalArgumentException](
+      ioC.commit("mentions", collided, "fx", Some(Pipeline.mentionIdAudit)))
+    assert(e.getMessage.contains("collision"))
+    assert(!ioC.isCommitted("mentions", "fx"), "vetoed commit must leave no marker")
+  }
+
   test("resume is idempotent: second run replays committed stages byte-identically") {
     val seed = 7L
     val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 60, seed = seed)

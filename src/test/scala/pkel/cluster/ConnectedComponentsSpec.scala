@@ -57,6 +57,48 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected exactly one surviving checkpoint, got ${checkpoints.map(_.getName).toSeq}")
   }
 
+  test("kill/resume: a fresh run resumes from the last durable iterate, same roots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // long chains force several star iterations, so an iteration cap stops
+    // strictly before convergence (the simulated kill)
+    val edges = (0L until 400L).map(i => (i, i + 1)) ++
+      Seq.fill(200)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)).filter(e => e._1 != e._2)
+    val expect = oracle(edges)
+    // cold full run (its own dir) for the iteration-count baseline
+    val coldDir = java.nio.file.Files.createTempDirectory("cc_cold_").toString
+    val (coldDf, coldIters) = ConnectedComponents.runWithStats(spark, edges.toDF("src", "dst"),
+      checkpointDir = Some(coldDir), reliableEvery = 1, smallGraphThreshold = 0L)
+    val cold = coldDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold == expect)
+    assert(coldIters >= 2, s"graph too easy for a resume test ($coldIters iterations)")
+    // simulated kill: stop after 1 iteration, leaving durable cc_iter_1
+    val dir = java.nio.file.Files.createTempDirectory("cc_resume_").toString
+    ConnectedComponents.runWithStats(spark, edges.toDF("src", "dst"),
+      maxIterations = 1, checkpointDir = Some(dir), reliableEvery = 1,
+      smallGraphThreshold = 0L)._1.count()
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "cc_iter_1"),
+      "kill simulation left no durable iterate")
+    // fresh run, same dir: must pick up cc_iter_1 (total iterations match the
+    // cold run's — the first iteration is NOT redone) and match the oracle
+    val (resumedDf, totalIters) = ConnectedComponents.runWithStats(spark,
+      edges.toDF("src", "dst"), checkpointDir = Some(dir), reliableEvery = 1,
+      smallGraphThreshold = 0L)
+    val resumed = resumedDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == expect, "resumed run diverged from the oracle")
+    assert(totalIters == coldIters,
+      s"resume restarted from scratch ($totalIters vs cold $coldIters iterations)")
+    // an interrupted (_SUCCESS-less) checkpoint is ignored: corrupt the
+    // latest iterate's marker and rerun — the run must fall back cleanly
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cc_iter_"))
+    val latest = files.maxBy(_.getName.stripPrefix("cc_iter_").toInt)
+    assert(new java.io.File(latest, "_SUCCESS").delete())
+    val again = ConnectedComponents.run(spark, edges.toDF("src", "dst"),
+      checkpointDir = Some(dir), reliableEvery = 1, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == expect)
+  }
+
   test("random graphs match union-find oracle on BOTH execution paths") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -68,6 +68,36 @@ class MetricsSpec extends SparkSpec {
     assert(uncovered.forall(r => r.getAs[Long]("covered_params") == 0))
   }
 
+  test("analysisResults: per-split combined coverage/distribution/counter table") {
+    val cat = entries.head.categoryId
+    val catIds = entries.filter(_.categoryId == cat).map(_.parameterId).sorted
+    // split s1: 2× first param, 1× second param, 1× NIL (4 labels);
+    // split s2: 1× first param
+    val s1 = Seq(catIds.head, catIds.head, catIds(1), "Q100").toDF("label")
+    val s2 = Seq(catIds.head).toDF("label")
+    val out = Metrics.analysisResults(spark, Seq("s1" -> s1, "s2" -> s2), entries).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("category")) -> r).toMap
+    val r1 = out(("s1", cat))
+    assert(r1.getAs[Long]("covered_params") == 2)
+    assert(r1.getAs[Long]("total_params") == catIds.size)
+    assert(r1.getAs[Long]("label_count") == 3)
+    assert(r1.getAs[Long]("distribution_bp") == 7500L) // 3 of 4 labels
+    assert(r1.getAs[Long]("coverage_bp") == math.floor(10000.0 * 2 / catIds.size).toLong)
+    // the per-category Counter, canonicalized: count desc, then id asc
+    assert(r1.getAs[String]("param_counts") == s"${catIds.head}:2,${catIds(1)}:1")
+    // the NIL row IS get_single_label_stats(Q100): count + share
+    val nil1 = out(("s1", "NIL"))
+    assert(nil1.getAs[Long]("label_count") == 1 && nil1.getAs[Long]("distribution_bp") == 2500L)
+    assert(nil1.getAs[String]("param_counts") == "Q100:1")
+    val r2 = out(("s2", cat))
+    assert(r2.getAs[Long]("label_count") == 1 && r2.getAs[Long]("distribution_bp") == 10000L)
+    val nil2 = out(("s2", "NIL"))
+    assert(nil2.getAs[Long]("label_count") == 0 && nil2.getAs[String]("param_counts") == "")
+    // every ontology category (+ NIL) appears once per split, even if empty
+    val nCats = entries.map(_.categoryId).distinct.size + 1
+    assert(out.keys.count(_._1 == "s1") == nCats && out.keys.count(_._1 == "s2") == nCats)
+  }
+
   test("confusionNormalized: row shares in basis points vs a hand-computed 3x3") {
     // true a: 2x a, 1x b  -> a row: a 6666bp, b 3333bp
     // true b: 1x b        -> b row: b 10000bp

@@ -44,6 +44,29 @@ class BiencoderSweepSpec extends SparkSpec {
       "thresholds 0.5 vs 0.9 produced identical residue — dead knob")
   }
 
+  test("one-pass relational sweep (driver-query recipe) matches the per-threshold kernel") {
+    val thresholds = Seq(0.5, 0.6, 0.75, 0.9)
+    val kernel = BiencoderLinker.sweep(spark, residue, entries, "mention", thresholds)
+    // one kernel pass at the loosest threshold, then score-only head filtering
+    // per threshold — the q_el_biencoder_sweep construction
+    val loose = BiencoderLinker.link(spark, residue, entries, "mention",
+      k = 5, matchThreshold = -1.0)
+      .select(col("mention_id"), col("label"), col("pred_ids"), col("pred_scores")).cache()
+    val n = loose.count()
+    thresholds.zip(kernel).foreach { case (t, kp) =>
+      val derived = loose.withColumn("pred", when(
+        element_at(col("pred_scores"), 1) >= t &&
+          element_at(col("pred_ids"), 1) =!= "Q100",
+        element_at(col("pred_ids"), 1)).otherwise(lit("Q100")))
+      val linked = derived.filter(col("pred") =!= "Q100").count()
+      assert(linked == kp.linked, s"thr=$t linked: $linked != ${kp.linked}")
+      assert(n - linked == kp.residue, s"thr=$t residue")
+      val correct = derived.filter(col("pred") === col("label")).count()
+      assert(math.abs(correct.toDouble / n - kp.microF1) < 1e-12, s"thr=$t micro-F1")
+    }
+    loose.unpersist(blocking = false)
+  }
+
   test("best-threshold selection is deterministic: max F1, ties to the lower threshold") {
     val points = Seq(
       BiencoderLinker.SweepPoint(0.5, 10, 2, 0.80),
