@@ -1361,6 +1361,52 @@ object Queries {
       .orderBy("category_id")
   }
 
+  /** Prompt-ablation grid as one driver row per cell
+    * (`tune_prompt_linker.py:36-44`: use_cot_prompt × use_examples ×
+    * use_context — the reference sweeps one cell per invocation; this runs
+    * the whole sentence-mode grid): per-cell grounding-outcome counts from
+    * the deterministic offline scorer + the cell's exact token price. The
+    * oracle re-derives every row relationally — outcome counts from the
+    * dumped per-mention scorer statuses (variant-independent: the offline
+    * scorer reads only the Mention line) and prices from dumped per-variant
+    * base-token constants + the SAME regex token count over the dumped
+    * residue texts. Prompts use the full ontology block so the estimator,
+    * the assembled prompts, and the oracle price identical strings. */
+  def elPromptVariants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (entries, mentions) = synthMentions(spark, dir)
+    // the exact tier's ambiguous/unlinked residue (the population the
+    // reference's prompt ablations tune on: mentions exact linking could not
+    // settle), with the mention surface + turn context the prompt assembles
+    val index = Ontology.blockingIndex(entries)
+    val keyed = pkel.link.ExactLinker.withBlockingKey(mentions)
+    val exact = cachedDf(spark, dir, "el_exact") {
+      pkel.link.ExactLinker.link(spark, keyed, index, keepDebug = true)
+    }
+    val residue = exact.filter(col("status").isin(
+      pkel.link.ExactLinker.StatusAmbiguous, pkel.link.ExactLinker.StatusUnlinked))
+      .select("mention_id", "mention", "text")
+    val grid = pkel.link.PromptLinker.variantGrid(isTable = false)
+    val model = "gpt-4o-mini"
+    if (shouldDump(dir)) {
+      val base = oracleDump(dir) + "/prompt_variants"
+      residue.write.mode("overwrite").parquet(s"$base/residue")
+      val scored = pkel.link.PromptLinker.linkVariant(spark, residue, entries,
+        new pkel.link.PromptLinker.SubstringScorer(entries), grid.head)
+      scored.select("mention_id", "status").write.mode("overwrite").parquet(s"$base/statuses")
+      val kb = Ontology.formatForLlm(entries)
+      val (pRate, cRate) = pkel.link.PromptCost.ratesNanos(model)
+      grid.map { v =>
+        (v.name, v.useCotPrompt, v.useExamples, v.useContext,
+          pkel.link.PromptCost.baseTokensVariant(v, kb).toLong, pRate, cRate, 7L)
+      }.toDF("variant", "use_cot", "use_examples", "use_context", "base_tokens",
+        "prompt_rate_nanos", "completion_rate_nanos", "est_completion_tokens")
+        .write.mode("overwrite").parquet(s"$base/consts")
+    }
+    pkel.link.PromptLinker.sweepVariants(spark, residue, entries,
+      new pkel.link.PromptLinker.SubstringScorer(entries), grid, model)
+  }
+
   /** Combined per-split analysis table (`data_exploration.py:46-101`:
     * `get_single_label_stats` + `generate_analysis_results` side by side —
     * the per-split table the reference prints but never materializes).

@@ -79,7 +79,8 @@ object SparkEntry {
     "q_el_retrieval" -> ((s: SparkSession, d: String) => Queries.elRetrievalMetrics(s, d)),
     "q_el_coverage" -> (Queries.elCoverage _),
     "q_el_analysis" -> (Queries.elAnalysis _),
-    "q_el_biencoder_sweep" -> ((s: SparkSession, d: String) => Queries.elBiencoderSweep(s, d)))
+    "q_el_biencoder_sweep" -> ((s: SparkSession, d: String) => Queries.elBiencoderSweep(s, d)),
+    "q_el_prompt_variants" -> (Queries.elPromptVariants _))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" ->
@@ -830,6 +831,34 @@ object SparkEntry {
         | s.n_mentions
         |FROM seen s JOIN tot t USING (category_id)
         |ORDER BY s.category_id""".stripMargin,
+    // prompt-ablation grid: outcome counts from the dumped per-mention scorer
+    // statuses (the offline scorer reads only the Mention line, so outcomes
+    // are variant-independent); per-cell prices re-derived from the dumped
+    // base-token constants + the identical regex token count over the
+    // dumped residue mention/context texts
+    "q_el_prompt_variants" ->
+      """WITH r AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_variants/residue/*.parquet')),
+        |st AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_variants/statuses/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/prompt_variants/consts/*.parquet')),
+        |outc AS (
+        | SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN status = 'linked' THEN 1 ELSE 0 END) AS BIGINT) AS linked,
+        |  CAST(SUM(CASE WHEN status = 'nil' THEN 1 ELSE 0 END) AS BIGINT) AS nil,
+        |  CAST(SUM(CASE WHEN status = 'no_answer' THEN 1 ELSE 0 END) AS BIGINT) AS no_answer
+        | FROM st),
+        |tok AS (
+        | SELECT
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(COALESCE(mention, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS mtoks,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS ctoks
+        | FROM r)
+        |SELECT c.variant, c.use_cot, c.use_examples, c.use_context,
+        | outc.n, outc.linked, outc.nil, outc.no_answer,
+        | CAST(outc.n * c.base_tokens + tok.mtoks
+        |   + CASE WHEN c.use_context THEN tok.ctoks ELSE 0 END AS BIGINT) AS total_prompt_tokens,
+        | CAST((outc.n * c.base_tokens + tok.mtoks
+        |   + CASE WHEN c.use_context THEN tok.ctoks ELSE 0 END) * c.prompt_rate_nanos
+        |   + outc.n * c.est_completion_tokens * c.completion_rate_nanos AS BIGINT) AS total_cost_nanos
+        |FROM c, outc, tok ORDER BY c.variant""".stripMargin,
     // combined per-split EDA: category coverage + label-mass distribution +
     // canonicalized per-category label counter, one row per (split, category);
     // the split is re-derived from mention_id % 3 and the NIL row reproduces
