@@ -183,9 +183,11 @@ object ScalingBench {
     val dataScaling =
       if (sizeRows.size < 2) ""
       else {
+        // joined with "\n|" so every continuation line carries the margin
+        // pipe stripMargin consumes (same trick as roundTable above)
         val rowsMd = sizeRows.map { r =>
           f"| ${r.convs} | ${r.pairs} | ${r.pps8 / 1e6}%.1fM | ${r.pps32 / 1e6}%.1fM | ${r.pps32 / (4.0 * r.pps8)}%.3f |"
-        }.mkString("\n")
+        }.mkString("\n|")
         val firstLast = (sizeRows.head, sizeRows.last)
         val growth = firstLast._2.pairs.toDouble / firstLast._1.pairs
         val ppsRatio32 = firstLast._2.pps32 / firstLast._1.pps32
@@ -253,7 +255,9 @@ object ScalingBench {
          |Identical pair sets at all parallelism levels (count-verified); the
          |pipeline is deterministic per row, so clusters are too
          |(TranscriptPipelineSpec: salt/parallelism invariance).
-         |$dataScaling""".stripMargin
+         |""".stripMargin + dataScaling // appended POST-stripMargin: the
+    // section is stripped once at its own construction; interpolating it
+    // into this literal would strip its table pipes a second time
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, md)
