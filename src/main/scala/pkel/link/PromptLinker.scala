@@ -29,133 +29,34 @@ object PromptLinker {
     def complete(systemPrompt: String, userPrompt: String): String
   }
 
+  /** Vendored prompt DATA (system prompts + few-shot example blocks,
+    * behavioral ports of `prompt_linker.py:10-135`) ships as resource files
+    * beside the drug lexicon — these are reference prompt text, not code. */
+  private def promptResource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/pkel/prompts/$name")
+    require(in != null, s"missing prompt resource $name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Port of SYSTEM_PROMPT_STANDARD (`prompt_linker.py:35-47`), with the
     * PK-specific framing kept so a swapped-in real model reproduces the
     * reference's behavior. */
-  val SystemPromptStandard: String =
-    """You are a highly intelligent and accurate pharmacokinetics (PK) entity linker.
-      |You will receive a parameter mention from scientific literature and an ontology.
-      |Your task is to accurately identify the mention using the concepts in the given ontology.
-      |
-      |- Accuracy is paramount. If the text does not precisely refer to any of the concepts listed below, please answer NIL.
-      |- If the mention does not refer to a PK parameter, please answer NIL.
-      |- If you are unsure, please answer NIL.
-      |- If there is a match, please answer with the corresponding concept name (PARAM_NAME), exactly as it appears in the ontology below.
-      |
-      |Please return your answer in the format: {param: <answer>}.""".stripMargin
+  val SystemPromptStandard: String = promptResource("system_standard.txt")
 
   /** Port of SYSTEM_PROMPT_COT (`prompt_linker.py:10-33`): the
     * chain-of-thought variant swept by `tune_prompt_linker.py` via
     * `--use_cot_prompt`. */
-  val SystemPromptCot: String =
-    """You are a highly intelligent and accurate pharmacokinetics (PK) entity linker.
-      |You will receive a parameter mention from scientific literature and an ontology.
-      |Your task is to accurately identify the mention using the concepts in the ontology.
-      |
-      |Please answer the following questions to determine the output:
-      |
-      |Q1. Does the mention refer to a PK parameter?
-      |This excludes the following: pharmacodynamic, PBPK, chemical, in vitro, or clinical concepts.
-      |- If yes, go to Q2.
-      |- If no, set the final answer to NIL.
-      |- If you are unsure, set the final answer to NIL.
-      |
-      |Q2. Does the mention match or refer to a known PK concept in the ontology?
-      |Note mentions may include prefixes, suffixes, time annotations, or drug-specific subscripts.
-      |Map these to their core ontology concept if applicable.
-      |- If yes, return the concept name exactly as it appears in the ontology.
-      |- If no, set the final answer to NIL.
-      |- If you are unsure, set the final answer to NIL.
-      |
-      |Please return only the final answer in the format: {param: final answer}.""".stripMargin
+  val SystemPromptCot: String = promptResource("system_cot.txt")
 
   /** Port of SENTENCE_EXAMPLES (`prompt_linker.py:51-97`): the sentence-mode
     * few-shot block injected by `--use_examples`. Vendored prompt DATA (like
     * the drug lexicon), not code. */
-  val SentenceExamples: String =
-    """The following examples are provided to guide you. They include mentions (with context if relevant), expected answers and explanations:
-      |
-      |[Mention] plasma concentration (or its ratio)
-      |[Expected Output] {param: NIL}
-      |[Explanation] Non-specific or ratio-based references to concentration without a specific PK parameter should link to NIL.
-      |
-      |[Mention] Maximum concentration at steady-state (Css (max))
-      |[Expected Output] {param: NIL}
-      |[Explanation] This is a mixture of parameters in our ontology (Css, Cmax) and does not fit exactly with any one so should be marked as NIL.
-      |
-      |[Mention] Rate constant for distribution to the effector compartment
-      |[Expected Output] {param: NIL}
-      |[Explanation] Although it refers to a rate constant, it is related to the effect compartment, not specifically covered in our ontology.
-      |
-      |[Mention] half-lives[/MENTION] were 1.39 hours and 1.89 hours for R-BSO and S-BSO, respectively.
-      |[Expected Output] {param: t1/2z}
-      |[Explanation]: Unqualified or overall half-lives default to t1/2z.
-      |
-      |[Mentions] A pharmacokinetic model with two compartments described the [MENTION]elimination half-lives[/MENTION] of cefepime as 1.65 h in foals and 1.09 h in dogs.
-      |The [MENTION]half-life of the later phase[/MENTION] was 323 minutes in healthy individuals, with comparable values in cholestasis and biliary obstruction groups.
-      |[Expected Outputs in both cases] {param: t1/2β}
-      |[Explanation]: Later phase-specific half-lives should map to t1/2β. Remember in the context of a 2-compartment model, terminal/elimination t1/2 refer to t1/2β and in a three-compartment model these refer to t1/2γ.
-      |
-      |[Mention] The [MENTION]half-life of the fast distribution phase[/MENTION] was estimated.
-      |[Expected Output] {param: t1/2α}
-      |[Explanation] Early phase-specific half-lives should map to t1/2α.
-      |
-      |[Mentions] dialytic clearance, CL(uptake), clearance from the perfusate (CL) and into the bile (CLB)
-      |[Expected Output in all cases] {param: NIL}
-      |[Explanation] These refer to specific subtypes of clearance (e.g., dialysis, uptake, biliary) and not to CL parameters in our ontology.
-      |
-      |[Mention] renal excretion rate (1.69 microg x min(-1))
-      |[Expected Output] {param: NIL}
-      |[Explanation] We are not interested in rates, only rate constants, link to NIL. Remember, the units can give clues e.g. this is not kexcr which has units of 1/time.
-      |
-      |[Mention] unbound renal clearance
-      |[Expected Output] {param: CLu}
-      |[Explanation] Refers to clearance of the unbound fraction of drug, links to CLu.
-      |
-      |[Mention] AUC12 hours
-      |[Expected Output] {param: AUCt}
-      |[Explanation] The mention refers to area under the curve over a fixed time window (0-12h), matching AUCt.""".stripMargin
+  val SentenceExamples: String = promptResource("sentence_examples.txt")
 
   /** Port of TABLE_EXAMPLES (`prompt_linker.py:100-135`): the table-mode
     * few-shot block — the tuning script pairs it with table mentions. */
-  val TableExamples: String =
-    """The following examples are provided to guide you. They include mentions (with context if relevant), expected answers and explanations:
-      |
-      |[Mention] Vd,ss/F (mL/kg)
-      |[Expected Output] {param: NIL}
-      |[Explanation] This does not fit exactly with any a parameter in the ontology (closest to V/F but at steady-state) -> return NIL.
-      |
-      |[Mention] Cmax at steady-state
-      |[Expected Output] {param: NIL}
-      |[Explanation] This does not fit exactly with any a parameter in the ontology (closest to Cmax but at steady-state) -> return NIL.
-      |
-      |[Mention] ARCtrough
-      |[FOOTER] ARCtrough = Accumulation ratio of trough concentrations
-      |[Expected Output] {param: NIL}
-      |[Explanation] Does not link specifically to any entries in the ontology -> return NIL.
-      |
-      |[Mention] Cavg0–336h
-      |[Expected Output] {param: Cavg}
-      |[Explanation] Average concentration even over a defined interval, should link to Cavg.
-      |
-      |[Mention] CL0–t  hour,secretion (mL/min)d
-      |[FOOTER] CL, clearance; Cmax, maximum plasma concentration.
-      |[Expected Output] {param: CL}
-      |[Explanation]  Clearance, even over a defined interval, should link to CL.
-      |
-      |[Mentions] AUC0–∞/D, AUC0–∞, norm
-      |[Expected Output in both cases] {param: AUC/dose}
-      |[Explanation] Even though "AUC0–∞" would normally link to AUC∞, both mentions are dose-normalized, so must link to AUC/dose.
-      |
-      |[Mention] CLM,NR (L/hr)
-      |[FOOTER] CL, clearance; M3G, morphine‐3‐glucuronide.
-      |[Expected Output] {param: CLNR}
-      |[Explanation] "NR" represent non-renal in this case and so is critical for linking.
-      |
-      |[Mention] VM
-      |[FOOTER] Definitions: VM = Central volume of distribution of morphine (M).
-      |[Expected Output] {param: V1}
-      |[Explanation] The footer shows that M refers to the drug name and should be ignored for linking.""".stripMargin
+  val TableExamples: String = promptResource("table_examples.txt")
 
   /** One cell of the reference's prompt-ablation grid
     * (`tune_prompt_linker.py:36-44`: `use_cot_prompt` × `use_examples` ×
