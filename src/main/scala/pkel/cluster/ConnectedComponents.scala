@@ -173,17 +173,31 @@ object ConnectedComponents {
     }
     var converged = false
     // the counter resumes too: the next durable write lands on a FRESH
-    // cc_iter_N (overwriting the iterate being read would self-destruct),
-    // and prior iterations count against maxIterations
+    // cc_iter_N (overwriting the iterate being read would self-destruct).
+    // Prior iterations do NOT count against maxIterations — a resumed run
+    // gets the full budget of fresh iterations (otherwise a checkpoint left
+    // at/near the budget would exit immediately with a non-fixpoint edge set)
     var it = startIt
-    while (!converged && it < maxIterations) {
+    var fresh = 0
+    while (!converged && fresh < maxIterations) {
       it += 1
+      fresh += 1
       val next = materialize(smallStar(largeStar(edges)), it)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
       sig = nextSig
     }
+    // a non-fixpoint exit means the returned roots can be WRONG (multi-hop
+    // chains not yet contracted). Loud, never silent: specs simulate kills
+    // with tiny budgets, so this warns rather than throws — star iterations
+    // converge in O(log n) rounds, so a default-budget exhaustion on real
+    // data indicates a pathology worth the operator's attention.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components exited after $fresh iterations WITHOUT reaching " +
+          s"fixpoint (budget $maxIterations, ${sig._1} canonical edges) — " +
+          "returned roots may be non-transitive; raise maxIterations")
     // at fixpoint every edge is (node, root)
     val roots = edges.select(col("src").as("node"), col("dst").as("root"))
     // roots themselves

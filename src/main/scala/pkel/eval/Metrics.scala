@@ -259,7 +259,12 @@ object Metrics {
       entries: Seq[pkel.model.OntologyEntry], splitCol: String = "split",
       labelCol: String = "label"): DataFrame = {
     import spark.implicits._
-    val dim = (entries.map(e => (e.categoryId, e.parameterId)) :+ (("NIL", "Q100")))
+    // the synthetic (NIL, Q100) row is appended unconditionally, so an entry
+    // list loaded with removeNil=false (pk_kb.csv carries a G100/Q100 row)
+    // must not contribute its own Q100 — the duplicate dim row would
+    // double-count every NIL label across two category rows
+    val dim = (entries.filterNot(_.parameterId == "Q100")
+      .map(e => (e.categoryId, e.parameterId)) :+ (("NIL", "Q100")))
       .toDF("category", "parameter_id")
     val labeled = taggedLabels
       .select(col(splitCol).as("split"), col(labelCol).as("parameter_id"))

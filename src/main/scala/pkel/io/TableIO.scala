@@ -97,6 +97,26 @@ trait StageStore {
     perPartition.write.mode("append").parquet(s"$root/_metrics")
   }
 
+  /** Append named counter rows to the metrics table (silent-cap visibility:
+    * e.g. LSH dropped-bucket counts). Counters reuse the per-partition
+    * lineage schema — `stage` = "<stage>.<counter>", `rows_out` = value,
+    * `partition_id` = −1 marks a run-level counter — so one parquet schema
+    * serves both row kinds and `metrics()` reads them together. */
+  final def appendCounters(stage: String, counters: Seq[(String, Long)]): Unit =
+    if (counters.nonEmpty) {
+      spark.createDataFrame(counters).toDF("counter", "value")
+        .select(
+          lit(-1).as("partition_id"),
+          col("value").as("rows_out"),
+          lit(runId).as("run_id"),
+          concat(lit(stage + "."), col("counter")).as("stage"),
+          col("value").as("total_rows"),
+          lit(0L).as("wall_ms"),
+          current_timestamp().as("committed_at"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$root/_metrics")
+    }
+
   def metrics(): DataFrame = spark.read.parquet(s"$root/_metrics")
 }
 

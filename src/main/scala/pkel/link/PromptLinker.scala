@@ -158,8 +158,13 @@ object PromptLinker {
         val subset =
           if (subsetIdx >= 0 && !row.isNullAt(subsetIdx)) row.getSeq[String](subsetIdx)
           else null
+        // NULL context coalesces to "" (the Context scaffolding is still
+        // assembled) so PromptCost.baseTokensVariant's additive estimate —
+        // which charges the scaffolding to every row of a context variant —
+        // matches the actually assembled prompt on null-context rows too
         val context =
-          if (ctxIdx >= 0 && !row.isNullAt(ctxIdx)) Some(row.getString(ctxIdx)) else None
+          if (ctxIdx >= 0) Some(if (row.isNullAt(ctxIdx)) "" else row.getString(ctxIdx))
+          else None
         val user = genUserPrompt(mention, kbBlock(subset), context, examples)
         val response = scorer.complete(systemPrompt, user)
         val (yPred, status) = ground(response, nameToId) match {

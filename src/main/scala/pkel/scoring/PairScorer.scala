@@ -346,7 +346,7 @@ object PairScorer {
     * window + collect_list formulation this removes the per-key sort and the
     * aggregation shuffle — the kernel sees each mention exactly once.
     * Salt assignment replicates the relational path bit-for-bit
-    * (pmod(xxhash64(mention_id), ceil(n/target) capped)), so the emitted
+    * (pmod(xxhash64(mention_id), ceil(n/target)), uncapped by default), so the emitted
     * pair set is identical (parity-tested). Skew note: a partition holds all
     * rows of its keys — the same residency the window formulation already
     * required; per-bucket pair cost stays O(n·target) via the salt split. */
@@ -362,7 +362,7 @@ object PairScorer {
     val iVec = if (schema.fieldNames.contains("vec")) schema.fieldIndex("vec") else -1
     val adaptive = cfg.adaptiveSalt
     val target = cfg.targetBucketSize
-    val maxSalt = cfg.maxSaltFactor
+    val maxSalt = cfg.maxSaltFactor.toLong
     val fixedSalt = cfg.saltBuckets
     val spark = parts.sparkSession
     val rdd = parts.queryExecution.toRdd.mapPartitions { iter =>
@@ -452,9 +452,9 @@ object PairScorer {
             x += 1
           }
           // salt assignment — bit-identical to pmod(xxhash64(mention_id), salt_n)
-          val saltN =
-            if (adaptive) math.min(math.max(math.ceil(n.toDouble / target).toInt, 1), maxSalt)
-            else fixedSalt
+          val saltN: Long =
+            if (adaptive) math.min(math.max(math.ceil(n.toDouble / target).toLong, 1L), maxSalt)
+            else fixedSalt.toLong
           val bySalt = new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
           t = 0
           while (t < n) {

@@ -161,6 +161,20 @@ class TranscriptPipelineSpec extends SparkSpec {
     val stages = io1.metrics().select("stage").distinct().collect().map(_.getString(0)).toSet
     assert(Set("mentions", "keyed", "linked", "scored", "edges", "components", "clusters")
       .subsetOf(stages), s"missing stage metrics: $stages")
+    // the LSH oversize-drop counters are first-class metrics rows (round-4
+    // verdict: no silent caps) — written by run-1's compute, NOT re-written
+    // by run-2's resume (a replayed stage re-ran nothing, so it recounts
+    // nothing)
+    assert(Set("scored.lsh_dropped_buckets", "scored.lsh_dropped_members",
+      "scored.lsh_total_buckets").subsetOf(stages), s"missing drop counters: $stages")
+    val counterRuns = io1.metrics()
+      .filter(col("stage") === "scored.lsh_total_buckets")
+      .select("run_id").collect().map(_.getString(0)).toSeq
+    assert(counterRuns == Seq("run-1"), s"resume must not recount: $counterRuns")
+    val totalBuckets = io1.metrics()
+      .filter(col("stage") === "scored.lsh_total_buckets")
+      .select("rows_out").head().getLong(0)
+    assert(totalBuckets > 0L, "counter row should carry the observed bucket count")
   }
 
   test("salting changes pair counts but never the clusters") {

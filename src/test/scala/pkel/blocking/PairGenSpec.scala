@@ -60,6 +60,35 @@ class PairGenSpec extends SparkSpec {
     assert(p.get.getString(4) == "clearance" && p.get.getString(5) == "CL")
   }
 
+  test("LSH oversize-bucket drop is counted, never silent") {
+    // 12 DISTINCT blocking keys sharing one token set → identical minhash
+    // signatures → every band buckets all 12 reps together; maxBucketSize=5
+    // drops those buckets wholesale (the scale guard under test). The
+    // all-dropped case is the adversarial one: AQE rewrites the emptied join
+    // to EmptyRelation, which is exactly why the counter rides accumulators
+    // and not a CollectMetrics node (see PairDropMetrics scaladoc).
+    val degenerate = (1L to 12L).map(i =>
+      (i, s"auc inf ss pad$i", s"m$i")).toDF("mention_id", "blocking_key", "mention")
+      .withColumn("tokens", split(lit("auc inf ss"), " ")) // shared token set
+    val cfg = PairGen.Config(maxBucketSize = 5)
+    PairDropMetrics.reset(spark)
+    val n = PairGen.lshPairs(degenerate, cfg).count()
+    val drops = PairDropMetrics.drain(spark)
+    info(s"lsh pairs=$n drops=$drops")
+    assert(n == 0, "oversized buckets must be dropped wholesale")
+    assert(drops.isDefined, "drop counters missing")
+    val d = drops.get
+    assert(d.droppedBuckets >= 1, s"expected dropped buckets, got $d")
+    assert(d.droppedMembers >= 12L, s"expected >= 12 dropped members, got $d")
+    assert(d.totalBuckets >= d.droppedBuckets)
+    // and a clean run reports zero drops but counts its buckets
+    PairDropMetrics.reset(spark)
+    PairGen.lshPairs(mentionsDf(Seq((1L, "cl a", "x"), (2L, "cl b", "y"))), cfg).count()
+    val clean = PairDropMetrics.drain(spark)
+    assert(clean.exists(c => c.droppedBuckets == 0L && c.totalBuckets > 0L),
+      s"clean run should count buckets with zero drops: $clean")
+  }
+
   test("LSH connects near-duplicate keys via representatives") {
     // two keys with high token overlap → same band with high probability
     val df = mentionsDf(Seq(

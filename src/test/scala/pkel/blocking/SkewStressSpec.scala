@@ -175,6 +175,40 @@ class SkewStressSpec extends SparkSpec {
     assert(diff == 0, s"$diff of ${salted.size} mentions changed cluster under salting")
   }
 
+  test("(e) a key past the former 4096-salt cap stays bucket-bounded and connected") {
+    // Round-4 verdict: salt_n = min(ceil(n/target), 4096) re-grew buckets to
+    // n/4096 once a key passed 4096×target mentions — per-key pair cost
+    // returned to O(n²/4096). The cap is now absent by default; this corpus
+    // puts ALL mentions on ONE key, sized so the OLD cap would have bound
+    // (ceil(300k/12) = 25000 ≫ 4096) and pins bounded buckets + linear pair
+    // volume + salt-invariant connectivity at that scale.
+    val bigN = 300000L
+    val cfg = PairGen.Config(adaptiveSalt = true, targetBucketSize = 12)
+    val mono = spark.range(0, bigN).select(
+      (col("id") + 1).as("mention_id"),
+      lit("t1 2 hot").as("blocking_key"))
+      .withColumn("tokens", split(col("blocking_key"), " "))
+      .withColumn("mention",
+        concat(col("blocking_key"), lit(" v"), pmod(col("mention_id"), lit(5))))
+    val stats = PairGen.saltedBucketTable(mono, cfg)
+      .agg(max(size(col("ms"))).as("mx"), count(lit(1)).as("buckets")).head()
+    val (mx, buckets) = (stats.getInt(0), stats.getLong(1))
+    info(s"buckets=$buckets maxBucket=$mx (n=$bigN, target=${cfg.targetBucketSize}, old cap=4096)")
+    assert(buckets > 4096, s"only $buckets buckets — the old salt cap is still binding")
+    assert(mx <= 3 * cfg.targetBucketSize,
+      s"bucket of $mx members at n=$bigN (target ${cfg.targetBucketSize}): salt re-growth is back")
+    val pairs = PairGen.candidatePairs(mono, cfg)
+    val nPairs = pairs.count()
+    assert(nPairs < bigN * cfg.targetBucketSize,
+      s"pair volume $nPairs is super-linear at n=$bigN")
+    // the rep lag-chain must keep the 25k salt buckets of the single key
+    // transitively connected — one component spanning every mention
+    val cc = ConnectedComponents.run(spark, pairs)
+      .agg(countDistinct(col("root")).as("roots"), count(lit(1)).as("nodes")).head()
+    assert(cc.getLong(0) == 1L, s"${cc.getLong(0)} components — chain connectivity broke")
+    assert(cc.getLong(1) == bigN, s"${cc.getLong(1)} of $bigN mentions reached the component")
+  }
+
   test("(d) pair-count cap: salted pair volume is linear-times-target, not quadratic") {
     val cfg = PairGen.Config(adaptiveSalt = true, targetBucketSize = 64)
     val nPairs = PairGen.candidatePairs(corpus, cfg).count()
