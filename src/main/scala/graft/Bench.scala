@@ -56,11 +56,27 @@ object Bench {
   def pairThroughput(spark: SparkSession, nConvs: Long): (Long, Double) =
     pairThroughputFrom(spark, materializeKeyed(spark, nConvs))
 
+  /** Fixed-cost host-noise sentinel: a deterministic codegen'd aggregate over
+    * a constant range, CPU-bound and input-independent, so its wall time
+    * varies ONLY with deliverable host capacity. The battery interleaves it
+    * between query groups; a degraded window (this VM's deliverable CPU
+    * swings 0.45–1.0 by the minute) then shows up as probe variance IN the
+    * artifact instead of masquerading as a query regression — BENCH_r04's
+    * 3.3× paper regression was exactly such a window. */
+  def noiseProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 1600000000L, 1, 64).select(sum(xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The driver-contract JSON line (one object, no nesting surprises).
     * Extracted so a spec can pin that it stays machine-parseable — round 1
-    * lost its bench metrics to a parse failure. */
+    * lost its bench metrics to a parse failure. `probes` carries the
+    * host-noise sentinel samples taken across the battery (label → sec);
+    * `noise_ratio` = max/min probe time, ≈1.0 in a clean window. */
   def jsonLine(queries: Seq[(String, Double)], sfDir: String, nPairs: Long,
-      pairsPerSec: Double, cpus: String, failed: Seq[String]): String = {
+      pairsPerSec: Double, cpus: String, failed: Seq[String],
+      probes: Seq[(String, Double)] = Nil): String = {
     def esc(x: String): String = x.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -70,7 +86,14 @@ object Bench {
     val qs = queries.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum
     val failedJson = failed.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","scored_pairs":$nPairs,"scored_pairs_per_sec":$pairsPerSec,"cpus":"${esc(cpus)}","failed":$failedJson}"""
+    val probeJson =
+      if (probes.isEmpty) ""
+      else {
+        val ps = probes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+        val ratio = probes.map(_._2).max / math.max(1e-9, probes.map(_._2).min)
+        s""","noise_probe_sec":$ps,"noise_ratio":$ratio"""
+      }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","scored_pairs":$nPairs,"scored_pairs_per_sec":$pairsPerSec,"cpus":"${esc(cpus)}","failed":$failedJson$probeJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,12 +130,20 @@ object Bench {
     // drop warm-up residue (persisted q_el_* DataFrames at warmDir, streaming
     // memory-sink tables) so dead storage does not compete with the timed runs
     Queries.releaseCaches(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Host-noise sentinel: sample the fixed-cost probe at battery start, after
+    // every 10th timed query and at the end, so a degraded host window during
+    // any 10-query span is visible in the artifact itself (noise_ratio ≫ 1).
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    probes += ("p_start" -> noiseProbe(spark))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => failed += name; System.err.println(s"BENCH FAIL $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if ((i + 1) % 10 == 0) probes += (s"p_q${i + 1}" -> noiseProbe(spark))
+      name -> sec
     }
+    probes += ("p_battery_end" -> noiseProbe(spark))
     // Scored-pairs/sec probe. Corpus synthesis + parquet materialization stay
     // OUTSIDE the timed window (they are input prep, not the operator), and
     // the corpus is sized so kernel compute amortizes the local-mode job
@@ -125,8 +156,9 @@ object Bench {
     val reps = (1 to 2).map(_ => pairThroughputFrom(spark, keyedPath))
     val nPairs = reps.head._1
     val pairsPerSec = reps.map(_._2).max
+    probes += ("p_end" -> noiseProbe(spark))
     val all = results :+ ("el_pair_scoring" -> nPairs / pairsPerSec)
-    val json = jsonLine(all, sfDir, nPairs, pairsPerSec, cpus, failed.toSeq)
+    val json = jsonLine(all, sfDir, nPairs, pairsPerSec, cpus, failed.toSeq, probes.toSeq)
     println(json)
     System.err.println(json)
     // sbt decorates stdout with [info]/[error] prefixes that break the

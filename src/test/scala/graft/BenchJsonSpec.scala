@@ -32,6 +32,18 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(n.get("failed").get(0).asText() == "f\"ail")
   }
 
+  test("noise-probe samples and their max/min ratio ride the line") {
+    val line = Bench.jsonLine(
+      Seq("q_a" -> 1.0), "sf", 0L, 0.0, "32", Nil,
+      probes = Seq("p_start" -> 0.5, "p_q10" -> 1.5, "p_end" -> 0.75))
+    val n = parse(line)
+    assert(n.get("noise_probe_sec").get("p_q10").asDouble() == 1.5)
+    assert(math.abs(n.get("noise_ratio").asDouble() - 3.0) < 1e-9)
+    // probe-free lines stay byte-compatible with earlier rounds' parsers
+    assert(parse(Bench.jsonLine(Seq("q_a" -> 1.0), "sf", 0L, 0.0, "32", Nil))
+      .get("noise_probe_sec") == null)
+  }
+
   test("every registered battery query name is JSON-safe as-is") {
     val line = Bench.jsonLine(
       SparkEntry.queries.keys.toSeq.map(_ -> 0.0), "sf", 0L, 0.0, "32", Nil)

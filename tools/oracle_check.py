@@ -58,3 +58,6 @@ for k, v in results.items():
     flag = "OK " if v.get("exact") else ("no-oracle" if v.get("err") == "no_oracle" else "FAIL")
     print(f"{flag:9s} {k} {json.dumps({a:b for a,b in v.items() if a!='detail' or b})}")
 print(f"\n{ok} exact / {len(oracle)} oracles / {len(results)} queries")
+with open("/tmp/oracle_check_results.json", "w") as f:
+    json.dump(results, f, indent=1, sort_keys=True)
+sys.exit(0 if ok == len(results) else 1)
