@@ -1002,11 +1002,19 @@ object Queries {
       .foreach(t => spark.catalog.dropTempView(t.name))
   }
 
+  /** Share of battery mention turns rendered as HTML tables (the gold
+    * derivation in `goldAssignments` must mirror this exactly). */
+  private val batteryTableRate = 0.08
+
   private def synthMentions(spark: SparkSession, dir: String) =
     synthCache.getOrElseUpdate(cacheKey(spark, dir), {
       val nConvs = convsForSf(sfOf(dir), base = 100L)
       val entries = Ontology.load()
-      val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L)
+      // tableRate: a slice of mention turns are tool-extracted HTML tables,
+      // so the battery exercises the cascade's table path (P5-P7 features,
+      // the exact tier's Q57 table default) — not just sentence mentions
+      val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L,
+        tableRate = batteryTableRate)
       val mentions = pkel.app.Pipeline.extractMentions(transcripts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (entries, mentions)
@@ -1288,12 +1296,15 @@ object Queries {
   private def goldAssignments(spark: SparkSession, dir: String): DataFrame =
     assignCache.getOrElseUpdate(cacheKey(spark, dir), {
       val (entries, mentions) = synthMentions(spark, dir)
-      // variant list hoisted out of the UDF: goldFor(entries, ...) would
+      // variant lists hoisted out of the UDF: goldFor(entries, ...) would
       // rebuild the whole-ontology flatMap on every mention row
       val vs = pkel.transcript.TranscriptSynth.variants(entries)
+      val tdVs = pkel.transcript.TranscriptSynth.tableDefaultVariants(entries)
+      val safeVs = pkel.transcript.TranscriptSynth.tableSafeVariants(entries)
       val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
         pkel.transcript.TranscriptSynth.goldSpansForVariants(
-          vs, seed = 42L, convId.stripPrefix("c").toLong, turn)
+          vs, seed = 42L, convId.stripPrefix("c").toLong, turn,
+          tableRate = batteryTableRate, tdVs = tdVs, safeVs = safeVs)
           .lift(spanIdx).orNull)
       val goldDf = mentions
         .select(col("mention_id"),

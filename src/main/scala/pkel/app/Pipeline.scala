@@ -34,22 +34,45 @@ import pkel.scoring.PairScorer
   */
 object Pipeline {
 
+  /** Embedding-vector sourcing for the scoring kernel.
+    *
+    * [[VecMemo]]: the kernel encodes from the raw surface behind a bounded
+    * per-partition memo (encoder cost O(bucket members) in the bucket kernel
+    * / up to O(pairs) on the sparse path, shuffle lean).
+    *
+    * [[VecCarry]]: compute the per-mention embedding ONCE on the keyed-mention
+    * table and carry it through `PairGen` into the kernel (encoder cost
+    * exactly O(mentions), shuffle +dim×4 bytes per member).
+    *
+    * [[VecAuto]]: decide per corpus from a KMV distinct-surface estimate on
+    * the keyed table (one cheap single-column aggregate, recorded to the
+    * metrics table). Measured (`BENCH/SURFACE_CARD.md`, 94.5M pairs): with
+    * this repo's cheap hashed-n-gram encoder the memo path wins at EVERY
+    * surface cardinality — even 100% unique surfaces (memo 8.1M vs carry
+    * 3.2M pairs/s @32) — because the bucket kernel encodes O(members) per
+    * bucket, not O(pairs), while carry pays dim×4 bytes/member through the
+    * bucket shuffle. Carry wins only when the encoder itself is expensive
+    * (a real bi-encoder model costs ~10^3× a dot product, so
+    * encode-per-bucket-visit dominates) AND the memo can't hold the surface
+    * universe. Hence the rule: carry iff `costlyEncoder` && estimate >
+    * `distinctThreshold` (default `PairScorer.MemoCap`). */
+  sealed trait VecMode
+  case object VecMemo extends VecMode
+  case object VecCarry extends VecMode
+  final case class VecAuto(
+      distinctThreshold: Long = PairScorer.MemoCap,
+      /** Set when plugging a model-backed `Embedder` whose per-encode cost
+        * dwarfs a dot product; the offline hashed-n-gram default is cheap. */
+      costlyEncoder: Boolean = false) extends VecMode
+
   final case class Config(
       pairCfg: PairGen.Config = PairGen.Config(),
       weights: PairScorer.Weights = PairScorer.Weights(),
       edgeThreshold: Double = 0.90,
       cascade: Cascade.Config = Cascade.Config(),
       useAnchors: Boolean = true,
-      /** Compute the per-mention embedding ONCE on the keyed-mention table
-        * and carry it through `PairGen` into the scoring kernel (encoder cost
-        * O(mentions), shuffle +vec bytes). When false the kernel encodes from
-        * the raw surface behind a bounded per-partition memo (encoder cost up
-        * to O(pairs), shuffle lean). Measured on the transcript corpus
-        * (repetitive surfaces, memo hit rate ≈ 1): memo 24.7M pairs/s vs
-        * vec-carry 8.7M — so false is the default here; flip it when surface
-        * cardinality is high enough to thrash the memo (see PairScorerSpec's
-        * unique-surface case). */
-      precomputeVecs: Boolean = false)
+      /** See [[VecMode]]; auto-selects memo vs vec-carry per corpus. */
+      vecMode: VecMode = VecAuto())
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -99,6 +122,12 @@ object Pipeline {
     * turn-level context features would attach (lag/lead). */
   def extractMentions(transcripts: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    // a turn whose text IS an html table (tool-extracted results) flows down
+    // the cascade's table path: is_table drives the exact tier's Q57 default
+    // and the [ROW]/[COLUMN] retrieval features; row_idx/col_idx are the
+    // mention cell's coordinates in HtmlTable.parse space
+    val coordsUdf = udf((text: String, pos: Int) =>
+      pkel.features.HtmlTable.coords(Option(text).getOrElse(""), pos))
     transcripts
       .withColumn("rn", row_number().over(w) - 1)
       .withColumn("ordering_ok", col("rn") === col("turn_idx"))
@@ -108,13 +137,18 @@ object Pipeline {
       .withColumn("span_end", col("span._2"))
       .withColumn("mention_id",
         xxhash64(col("conv_id"), col("turn_idx"), col("span_idx")).bitwiseAND(lit(Long.MaxValue)))
+      .withColumn("is_table", col("text").startsWith("<table"))
+      .withColumn("cell",
+        when(col("is_table"), coordsUdf(col("text"), col("span_start"))))
       .select(
         col("mention_id"), col("conv_id"), col("turn_idx"), col("span_idx"), col("ts"),
         col("text"), col("span_start"), col("span_end"),
-        lit(false).as("is_table"),
-        lit("").as("table_html"), lit("").as("caption"), lit("").as("footer"),
+        col("is_table"),
+        when(col("is_table"), col("text")).otherwise(lit("")).as("table_html"),
+        lit("").as("caption"), lit("").as("footer"),
         lit("").as("table_id"), lit(-1).as("row"), lit(-1).as("col"),
-        lit(-1).as("row_idx"), lit(-1).as("col_idx"),
+        coalesce(col("cell._1"), lit(-1)).as("row_idx"),
+        coalesce(col("cell._2"), lit(-1)).as("col_idx"),
         lit("").as("label"), col("ordering_ok"))
   }
 
@@ -183,10 +217,28 @@ object Pipeline {
     // truncation is a visible counter, never a silent cap. A resumed stage
     // drains nothing (the counters were recorded when it originally computed).
     PairDropMetrics.reset(spark)
+    val vecCarry = cfg.vecMode match {
+      case VecCarry => true
+      case VecMemo => false
+      case VecAuto(threshold, costlyEncoder) =>
+        // one single-column aggregate over the keyed table — O(mentions) scan
+        // of one string column, negligible next to the pair stage it tunes;
+        // the KMV sketch is this repo's own mergeable
+        // TypedImperativeAggregate (k=256 ⇒ ~6% relative error, ample for an
+        // order-of-magnitude threshold)
+        val est = keyed
+          .agg(pkel.functions.Functions.kmv_distinct(col("mention"), k = 256).as("d"))
+          .head().getLong(0)
+        val carry = costlyEncoder && est > threshold
+        io.appendCounters("keyed", Seq(
+          "distinct_surfaces_est" -> est,
+          "vec_carry" -> (if (carry) 1L else 0L)))
+        carry
+    }
     val scored = io.readOrCompute("scored", fp(cfg, "s")) {
       val base = keyed.select("mention_id", "blocking_key", "tokens", "mention")
       val forPairs =
-        if (cfg.precomputeVecs) base.withColumn("vec", embedVecUdf(col("mention")))
+        if (vecCarry) base.withColumn("vec", embedVecUdf(col("mention")))
         else base
       PairScorer.scoreCandidates(forPairs, cfg.pairCfg, cfg.weights)
     }

@@ -46,12 +46,18 @@ object PipelineApp {
         (spark.read.parquet(path), None)
       case None =>
         val multiRate = opts.getOrElse("multi-rate", "0.0").toDouble
+        val tableRate = opts.getOrElse("table-rate", "0.0").toDouble
         val t = TranscriptSynth.generate(spark, entries, nConvs, seed = seed,
-          multiRate = multiRate)
+          multiRate = multiRate, tableRate = tableRate)
         val vs = TranscriptSynth.variants(entries)
+        val tdVs = if (tableRate > 0) TranscriptSynth.tableDefaultVariants(entries)
+          else IndexedSeq.empty[TranscriptSynth.Variant]
+        val safeVs = if (tableRate > 0) TranscriptSynth.tableSafeVariants(entries)
+          else IndexedSeq.empty[TranscriptSynth.Variant]
         val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
           TranscriptSynth.goldSpansForVariants(vs, seed, convId.stripPrefix("c").toLong,
-            turn, multiRate = multiRate).lift(spanIdx).orNull)
+            turn, multiRate = multiRate, tableRate = tableRate,
+            tdVs = tdVs, safeVs = safeVs).lift(spanIdx).orNull)
         val g = Pipeline.extractMentions(t)
           .select(col("mention_id"),
             goldUdf(col("conv_id"), col("turn_idx"), col("span_idx")).as("gold"))
@@ -64,7 +70,12 @@ object PipelineApp {
     val io = pkel.io.StageStore.forBackend(opts.getOrElse("store", "snapshot"),
       spark, out, s"run-${java.util.UUID.randomUUID().toString.take(8)}")
     val cfg = Pipeline.Config(
-      precomputeVecs = opts.get("precompute-vecs").exists(_.toBoolean),
+      vecMode = opts.getOrElse("vec-mode", "auto") match {
+        case "memo" => Pipeline.VecMemo
+        case "carry" => Pipeline.VecCarry
+        case "auto" => Pipeline.VecAuto()
+        case other => sys.error(s"--vec-mode must be memo|carry|auto, got $other")
+      },
       edgeThreshold = opts.getOrElse("edge-threshold", "0.90").toDouble)
     val (clusters, summary) = Pipeline.run(spark, transcripts, entries, cfg, io, gold)
 

@@ -67,6 +67,47 @@ object HtmlTable {
     (rowStr, colStr)
   }
 
+  /** Post-strip (row_idx, col_idx) of the cell whose body contains char
+    * offset `pos` of the raw html — the extractor's bridge from a «»-span
+    * offset to [[parse]] coordinates. Applies the same index-row/column
+    * stripping as `parse`, so the result indexes directly into its output;
+    * (-1, -1) when `pos` falls outside every cell body or inside a stripped
+    * index row/column. */
+  def coords(html: String, pos: Int): (Int, Int) = {
+    if (html == null || html.isEmpty || pos < 0) return (-1, -1)
+    val cellTexts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var hit = (-1, -1)
+    val trm = TrRe.matcher(html)
+    var r = 0
+    while (trm.find()) {
+      val rowStart = trm.start(1)
+      val cm = CellRe.matcher(trm.group(1))
+      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+      var c = 0
+      while (cm.find()) {
+        if (pos >= rowStart + cm.start(1) && pos < rowStart + cm.end(1)) hit = (r, c)
+        cells += stripTags(cm.group(1))
+        c += 1
+      }
+      cellTexts += cells.toSeq
+      r += 1
+    }
+    if (hit == (-1, -1)) return (-1, -1)
+    var (hr, hc) = hit
+    var rows: Seq[Seq[String]] = cellTexts.toSeq
+    if (isIndexSequence(rows.head, allowLeadingBlank = true)) {
+      if (hr == 0) return (-1, -1)
+      hr -= 1
+      rows = rows.tail
+    }
+    val firstCol = rows.collect { case row if row.nonEmpty => row.head }
+    if (isIndexSequence(firstCol)) {
+      if (hc == 0) return (-1, -1)
+      hc -= 1
+    }
+    (hr, hc)
+  }
+
   /** `format_table_context_for_retrieval` (`:346-370`): tagged mention +
     * [ROW]/[COLUMN] context lines. */
   def retrievalContext(html: String, tagged: String, rowIdx: Int, colIdx: Int): String = {

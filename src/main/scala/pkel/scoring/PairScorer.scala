@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
   */
 object PairScorer {
 
+  /** Per-partition bound on every kernel memo (embeddings per surface, scores
+    * per surface/combo pair). Above ~this many distinct surfaces the memos
+    * thrash and the kernel re-encodes per bucket occurrence — the crossover
+    * `Pipeline.VecAuto` keys its carry-vs-memo decision on. */
+  val MemoCap = 200000
+
   final case class Weights(wKey: Double = 0.5, wJw: Double = 0.2, wCos: Double = 0.3)
 
   def score(keyA: String, keyB: String, mentionA: String, mentionB: String,
@@ -67,7 +73,7 @@ object PairScorer {
       // lookup. Bounded to keep worst-case (all-unique) memory flat.
       val embMemo = new java.util.HashMap[String, Array[Float]](1024)
       val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
-      val memoCap = 200000
+      val memoCap = MemoCap
       def embed(s: String): Array[Float] = {
         var v = embMemo.get(s)
         if (v == null) {
@@ -161,7 +167,7 @@ object PairScorer {
       val embMemo = new java.util.HashMap[String, Array[Float]](1024)
       val surfPairMemo = new java.util.HashMap[String, Array[Double]](4096)
       val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
-      val memoCap = 200000
+      val memoCap = MemoCap
       def embed(str: String): Array[Float] = {
         var v = embMemo.get(str)
         if (v == null) {
@@ -301,7 +307,7 @@ object PairScorer {
     buckets.mapPartitions { rows =>
       val embMemo = new java.util.HashMap[String, Array[Float]](1024)
       val comboMemo = new java.util.HashMap[String, Array[Double]](4096)
-      val memoCap = 200000
+      val memoCap = MemoCap
       def embed(str: String): Array[Float] = {
         var v = embMemo.get(str)
         if (v == null) {
@@ -384,7 +390,7 @@ object PairScorer {
       }
       val embMemo = new java.util.HashMap[String, Array[Float]](1024)
       val surfPairMemo = new java.util.HashMap[String, Array[Double]](4096)
-      val memoCap = 200000
+      val memoCap = MemoCap
       def embed(str: String): Array[Float] = {
         var v = embMemo.get(str)
         if (v == null) {

@@ -15,11 +15,14 @@ class TranscriptPipelineSpec extends SparkSpec {
   lazy val entries = Ontology.load()
 
   private def goldDf(transcripts: org.apache.spark.sql.DataFrame, seed: Long,
-      multiRate: Double = 0.0) = {
+      multiRate: Double = 0.0, tableRate: Double = 0.0) = {
     val vs = TranscriptSynth.variants(entries)
+    val tdVs = TranscriptSynth.tableDefaultVariants(entries)
+    val safeVs = TranscriptSynth.tableSafeVariants(entries)
     val goldUdf = udf((convId: String, turn: Int, spanIdx: Int) =>
       TranscriptSynth.goldSpansForVariants(vs, seed, convId.stripPrefix("c").toLong,
-        turn, multiRate = multiRate).lift(spanIdx).orNull)
+        turn, multiRate = multiRate, tableRate = tableRate,
+        tdVs = tdVs, safeVs = safeVs).lift(spanIdx).orNull)
     Pipeline.extractMentions(transcripts)
       .select(col("mention_id"),
         goldUdf(col("conv_id"), col("turn_idx"), col("span_idx")).as("gold"))
@@ -175,6 +178,81 @@ class TranscriptPipelineSpec extends SparkSpec {
       .filter(col("stage") === "scored.lsh_total_buckets")
       .select("rows_out").head().getLong(0)
     assert(totalBuckets > 0L, "counter row should carry the observed bucket count")
+  }
+
+  test("table-cell turns flow down the cascade's table path and the F1 gate holds") {
+    val seed = 42L
+    val tableRate = 0.25
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 300,
+      seed = seed, tableRate = tableRate)
+    val tableTurns = transcripts.filter(col("text").startsWith("<table"))
+    assert(tableTurns.count() > 0, "tableRate=0.25 produced no table turns")
+    val mentions = Pipeline.extractMentions(transcripts)
+    val tableMentions = mentions.filter(col("is_table"))
+    assert(tableMentions.count() == tableTurns.count(),
+      "every table turn must yield exactly one table mention")
+    // cell coordinates resolve inside the synthesized 4x3 tables: header is
+    // parse row 0, the mention cell sits in data rows 1-3, column 0
+    val coords = tableMentions.select("row_idx", "col_idx").collect()
+    assert(coords.nonEmpty && coords.forall { r =>
+      (1 to 3).contains(r.getInt(0)) && r.getInt(1) == 0
+    }, s"bad cell coords: ${coords.take(5).mkString(",")}")
+    // the exact tier's Q57 table default fires for the ambiguous-surface slice
+    val linked = pkel.link.Cascade.run(spark, mentions.drop("ordering_ok"), entries)
+    val statuses = linked.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("table_default", 0L) > 0,
+      s"no table_default rows in $statuses")
+    // table-default mentions predict Q57 — which IS their constructed gold
+    val root = Files.createTempDirectory("pkel_table_").toString
+    val io = new TableIO(spark, root, "table-run")
+    val gold = goldDf(transcripts, seed, tableRate = tableRate)
+    assert(gold.count() == mentions.count(), "gold does not cover every mention")
+    val (_, summary) = Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io, Some(gold))
+    info(s"table summary: $summary")
+    assert(summary.pairwiseF1 >= 0.99, f"global pairwise F1 ${summary.pairwiseF1}%.4f < 0.99")
+    assert(summary.pairwiseF1AtKey >= 0.99, f"pairwise F1 at key ${summary.pairwiseF1AtKey}%.4f < 0.99")
+  }
+
+  test("VecAuto picks memo vs vec-carry from the KMV distinct-surface estimate, identically clustered") {
+    val seed = 23L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 80, seed = seed)
+    val gold = goldDf(transcripts, seed)
+    def runWith(mode: Pipeline.VecMode, tag: String): (Map[Long, Long], Option[(Long, Long)]) = {
+      val root = Files.createTempDirectory(s"pkel_vec${tag}_").toString
+      val io = new TableIO(spark, root, s"vec-$tag")
+      val (c, _) = Pipeline.run(spark, transcripts, entries,
+        Pipeline.Config(vecMode = mode), io, Some(gold))
+      val clusters = c.select("mention_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val decision = {
+        val m = io.metrics()
+        val est = m.filter(col("stage") === "keyed.distinct_surfaces_est")
+          .select("rows_out").collect().map(_.getLong(0)).headOption
+        val carry = m.filter(col("stage") === "keyed.vec_carry")
+          .select("rows_out").collect().map(_.getLong(0)).headOption
+        est.flatMap(e => carry.map(cr => (e, cr)))
+      }
+      (clusters, decision)
+    }
+    // the transcript corpus holds a few hundred distinct surfaces: with the
+    // cheap built-in encoder auto always picks memo (SURFACE_CARD.md: memo
+    // wins at every cardinality when encoding is cheap); with a costly
+    // encoder declared and a threshold below the corpus cardinality it
+    // flips to carry
+    val (cMemoAuto, dMemoAuto) = runWith(Pipeline.VecAuto(distinctThreshold = 10), "auto-cheap")
+    val (cCarryAuto, dCarryAuto) = runWith(
+      Pipeline.VecAuto(distinctThreshold = 10, costlyEncoder = true), "auto-costly")
+    val (cExplicit, dExplicit) = runWith(Pipeline.VecMemo, "memo")
+    assert(dMemoAuto.exists { case (est, carry) => est > 10 && carry == 0L },
+      s"cheap-encoder auto should pick memo at any cardinality: $dMemoAuto")
+    assert(dCarryAuto.exists { case (est, carry) => est > 10 && carry == 1L },
+      s"costly-encoder auto above threshold should pick carry: $dCarryAuto")
+    assert(dExplicit.isEmpty, "explicit mode must not spend the KMV aggregate")
+    // sourcing vectors from the memo or from the carried column is a pure
+    // execution-strategy choice: clusters must be identical
+    assert(cMemoAuto == cCarryAuto, "memo vs carry changed the clusters")
+    assert(cMemoAuto == cExplicit)
   }
 
   test("salting changes pair counts but never the clusters") {
