@@ -65,7 +65,9 @@ object Bench {
     * 3.3× paper regression was exactly such a window. */
   def noiseProbe(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(0, 1600000000L, 1, 64).select(sum(xxhash64(col("id")))).head()
+    // bit_xor, not sum: full-range xxhash64 values overflow a long sum under
+    // ANSI mode (Spark 4 default) after a handful of rows
+    spark.range(0, 1600000000L, 1, 64).select(bit_xor(xxhash64(col("id")))).head()
     (System.nanoTime() - t0) / 1e9
   }
 
