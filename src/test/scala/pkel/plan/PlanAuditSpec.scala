@@ -193,6 +193,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(finalPlan.contains("SortMergeJoin"), s"expected SMJ:\n${finalPlan.take(1500)}")
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the skewed join:\n${finalPlan.take(3000)}")
+      // object-level verification via the bench's plan walker: the skewed
+      // partition was actually split into PartialReducerPartitionSpec reads
+      // (the walker must recurse through QueryStageExec leaves to see it)
+      val (skewedReads, splits, flagged) = graft.AqeSkewBench.skewSplitStats(joined)
+      assert(flagged && skewedReads >= 1 && splits >= 2,
+        s"skewSplitStats saw no split: reads=$skewedReads splits=$splits flag=$flagged")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
