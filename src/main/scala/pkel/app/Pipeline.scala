@@ -72,7 +72,17 @@ object Pipeline {
       cascade: Cascade.Config = Cascade.Config(),
       useAnchors: Boolean = true,
       /** See [[VecMode]]; auto-selects memo vs vec-carry per corpus. */
-      vecMode: VecMode = VecAuto())
+      vecMode: VecMode = VecAuto(),
+      /** Length-bound prune ([[PairScorer.lengthBound]]): drop cross-key LSH
+        * pairs that provably score below `edgeThreshold` BEFORE the JW/cosine
+        * kernel. Edges and clusters are invariant (LengthPruneSpec); the
+        * Summary's scored-pair count shrinks by exactly the pruned pairs,
+        * which land in the metrics table as `length_pruned_pairs`. Off by
+        * default so the scored-pairs/sec metric stays comparable across
+        * rounds; turn on when deploying — at 100 TB the cross-key pair list
+        * scales with distinct-key pairs and the prune removes the most
+        * expensive (most-dissimilar) ones for free. */
+      prunePairs: Boolean = false)
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -240,13 +250,15 @@ object Pipeline {
       val forPairs =
         if (vecCarry) base.withColumn("vec", embedVecUdf(col("mention")))
         else base
-      PairScorer.scoreCandidates(forPairs, cfg.pairCfg, cfg.weights)
+      PairScorer.scoreCandidates(forPairs, cfg.pairCfg, cfg.weights,
+        minScore = if (cfg.prunePairs) Some(cfg.edgeThreshold) else None)
     }
     PairDropMetrics.drain(spark).foreach { d =>
       io.appendCounters("scored", Seq(
         "lsh_dropped_buckets" -> d.droppedBuckets,
         "lsh_dropped_members" -> d.droppedMembers,
-        "lsh_total_buckets" -> d.totalBuckets))
+        "lsh_total_buckets" -> d.totalBuckets,
+        "length_pruned_pairs" -> d.prunedPairs))
     }
 
     // stage 6: edge set. Mentions the cascade links to an entity take edges

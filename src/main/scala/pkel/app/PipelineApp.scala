@@ -76,7 +76,11 @@ object PipelineApp {
         case "auto" => Pipeline.VecAuto()
         case other => sys.error(s"--vec-mode must be memo|carry|auto, got $other")
       },
-      edgeThreshold = opts.getOrElse("edge-threshold", "0.90").toDouble)
+      edgeThreshold = opts.getOrElse("edge-threshold", "0.90").toDouble,
+      // --prune true: drop cross-key pairs provably below the edge threshold
+      // (length bound) before the scoring kernel; clusters are invariant,
+      // drops land in the metrics table as length_pruned_pairs
+      prunePairs = opts.getOrElse("prune", "false").toBoolean)
     val (clusters, summary) = Pipeline.run(spark, transcripts, entries, cfg, io, gold)
 
     println(s"clusters written under $out/clusters; metrics under $out/_metrics")

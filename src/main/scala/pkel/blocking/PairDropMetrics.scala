@@ -29,13 +29,18 @@ import org.apache.spark.util.LongAccumulator
   */
 object PairDropMetrics {
 
-  /** What the LSH oversize guard discarded since the last drain. */
-  final case class LshDrops(droppedBuckets: Long, droppedMembers: Long, totalBuckets: Long)
+  /** What the candidate-recall guards discarded since the last drain:
+    * oversized LSH buckets (dropped wholesale) and, when the caller enables
+    * the length-bound prune ([[pkel.scoring.PairScorer.lengthBound]]),
+    * cross-key pairs whose score upper bound sits below the edge threshold. */
+  final case class LshDrops(droppedBuckets: Long, droppedMembers: Long, totalBuckets: Long,
+      prunedPairs: Long = 0L)
 
   final private[blocking] class Accs(sc: SparkContext) extends Serializable {
     val dropped: LongAccumulator = sc.longAccumulator("pkel.lsh.dropped_buckets")
     val members: LongAccumulator = sc.longAccumulator("pkel.lsh.dropped_members")
     val total: LongAccumulator = sc.longAccumulator("pkel.lsh.total_buckets")
+    val pruned: LongAccumulator = sc.longAccumulator("pkel.pairs.length_pruned")
   }
 
   // one accumulator trio per SparkContext; weak so a stopped context can die
@@ -51,8 +56,8 @@ object PairDropMetrics {
   /** Present counter values (None when no instrumented query ran yet). */
   def snapshot(spark: SparkSession): Option[LshDrops] = {
     val a = accsFor(spark.sparkContext)
-    if (a.total.isZero && a.dropped.isZero && a.members.isZero) None
-    else Some(LshDrops(a.dropped.value, a.members.value, a.total.value))
+    if (a.total.isZero && a.dropped.isZero && a.members.isZero && a.pruned.isZero) None
+    else Some(LshDrops(a.dropped.value, a.members.value, a.total.value, a.pruned.value))
   }
 
   /** Snapshot and zero the counters — call after the action that executed
@@ -67,6 +72,10 @@ object PairDropMetrics {
   /** Zero the counters without reading them. */
   def reset(spark: SparkSession): Unit = {
     val a = accsFor(spark.sparkContext)
-    a.dropped.reset(); a.members.reset(); a.total.reset()
+    a.dropped.reset(); a.members.reset(); a.total.reset(); a.pruned.reset()
   }
+
+  /** Accumulator for [[pkel.scoring.PairScorer]]'s length-bound prune (lives
+    * here so every candidate-recall counter drains through one surface). */
+  def prunedAcc(sc: SparkContext): LongAccumulator = accsFor(sc).pruned
 }

@@ -45,12 +45,50 @@ object PairScorer {
     (keySim, jw, cos, combined)
   }
 
+  /** Upper bound on the combined score from key LENGTHS alone (the classic
+    * similarity-join length filter, cf. AllPairs/PPJoin): indel similarity is
+    * 200·LCS/(|a|+|b|) and LCS ≤ min(|a|,|b|), so for cross-key pairs
+    *   score ≤ wKey · 2·min(|ka|,|kb|)/(|ka|+|kb|) + wJw + wCos
+    * (jw, cos ≤ 1). Identical NON-EMPTY keys are the kernel's equality
+    * shortcut (score = 1.0 exactly); identical empty keys grade with
+    * keySim = 1. A pair whose bound is below the edge threshold θ can never
+    * become an edge, so it is safe to drop BEFORE the O(|a|·|b|) edit-distance
+    * and cosine kernels run — edge sets and clusters are provably invariant
+    * (LengthPruneSpec). With θ = 0.9 and default weights this prunes every
+    * cross-key pair whose key lengths differ by more than 1.5×. */
+  def lengthBound(w: Weights = Weights()): org.apache.spark.sql.Column = {
+    val la = length(col("key_a")).cast("double")
+    val lb = length(col("key_b")).cast("double")
+    when(col("key_a") === col("key_b"),
+      when(length(col("key_a")) > 0, lit(1.0)).otherwise(lit(w.wKey + w.wJw + w.wCos)))
+      .otherwise(
+        lit(w.wKey) * lit(2.0) * least(la, lb) / (la + lb) + lit(w.wJw + w.wCos))
+  }
+
+  /** Drop pairs whose [[lengthBound]] sits below `minScore`, counting drops
+    * into [[pkel.blocking.PairDropMetrics]] (no silent caps: truncation that
+    * emits no counter reads as "covered everything"). The counting UDF is
+    * nondeterministic so Catalyst neither duplicates nor collapses it; it
+    * evaluates integer length arithmetic only — no edit distance. */
+  private def lengthPrune(pairs: DataFrame, w: Weights, minScore: Double): DataFrame = {
+    val acc = pkel.blocking.PairDropMetrics.prunedAcc(pairs.sparkSession.sparkContext)
+    val countDrop = udf { (bound: Double) =>
+      val keep = bound >= minScore
+      if (!keep) acc.add(1L)
+      keep
+    }.asNondeterministic()
+    pairs.filter(countDrop(lengthBound(w)))
+  }
+
   /** Score a pair DataFrame with columns (src, dst, key_a, key_b, mention_a,
     * mention_b [, vec_a, vec_b]). Appends (key_sim, jw_sim, cos_sim, score);
     * the vector columns are consumed and dropped (pair rows downstream carry
-    * scores, not payloads). */
-  def scorePairs(pairs: DataFrame, w: Weights = Weights(),
-      embedder: Embedder = Embedder.default): DataFrame = {
+    * scores, not payloads). `minScore` enables the [[lengthBound]] prune:
+    * pairs that provably score below it never reach the kernel. */
+  def scorePairs(pairs0: DataFrame, w: Weights = Weights(),
+      embedder: Embedder = Embedder.default,
+      minScore: Option[Double] = None): DataFrame = {
+    val pairs = minScore.map(t => lengthPrune(pairs0, w, t)).getOrElse(pairs0)
     val hasVecs = pairs.schema.fieldNames.contains("vec_a") &&
       pairs.schema.fieldNames.contains("vec_b")
     val keptFields = pairs.schema.fields.toSeq.filterNot(f =>
@@ -531,20 +569,26 @@ object PairScorer {
   def scoreCandidates(mentions: DataFrame,
       cfg: pkel.blocking.PairGen.Config = pkel.blocking.PairGen.Config(),
       w: Weights = Weights(), embedder: Embedder = Embedder.default,
-      carryFeatures: Boolean = false): DataFrame =
+      carryFeatures: Boolean = false,
+      minScore: Option[Double] = None): DataFrame =
+    // `minScore` (the length-bound prune) applies to the SPARSE relational
+    // path only: salted-bucket and chain pairs share one blocking key
+    // (bound = 1.0, never prunable), so only the cross-key MinHash-LSH pairs
+    // can fall below the bound — and those are exactly the pairs that pay
+    // the full JW + cosine kernel on distinct surfaces.
     if (carryFeatures) {
       // debug shape: bucket-table kernel with feature strings + relational sparse
       scoreBuckets(pkel.blocking.PairGen.saltedBucketTable(mentions, cfg),
         w, embedder, carryFeatures = true)
         .unionByName(scorePairs(
-          pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder))
+          pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder, minScore))
     } else {
       // scale shape: bucket-balanced zero-alloc kernel over the salted bucket
       // table (hot keys spread across tasks) + relational chain/LSH sparse
       // pairs. `scoreMentions` (one-exchange, by-key partitioning) exists as
       // an alternative for low-parallelism / low-skew runs.
       val sparse = scorePairs(
-        pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder)
+        pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder, minScore)
         .select("src", "dst", "key_sim", "jw_sim", "cos_sim", "score")
       scoreBucketsInternal(pkel.blocking.PairGen.saltedBucketTable(mentions, cfg), w, embedder)
         .unionByName(sparse)
