@@ -82,7 +82,12 @@ object Pipeline {
         * rounds; turn on when deploying — at 100 TB the cross-key pair list
         * scales with distinct-key pairs and the prune removes the most
         * expensive (most-dissimilar) ones for free. */
-      prunePairs: Boolean = false)
+      prunePairs: Boolean = false,
+      /** Max unassigned-residue rows for the edge stage's broadcast
+        * semi-join plan (zero shuffle of the ≥θ pair stream); above it the
+        * stage falls back to shuffle anti-joins against the assigned ids.
+        * 10M longs ≈ 320 MB hashed — comfortable for executor broadcast. */
+      broadcastResidueLimit: Long = 10000000L)
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -270,14 +275,38 @@ object Pipeline {
     val edges = io.readOrCompute("edges", fp(cfg, "e")) {
       val linkedStatuses = Seq("linked", "disambiguated", "table_default")
       if (cfg.useAnchors) {
-        val assigned = linked
-          .filter(col("y_pred") =!= "Q100" && col("status").isin(linkedStatuses: _*))
+        val assignedCond = col("y_pred") =!= "Q100" && col("status").isin(linkedStatuses: _*)
+        val assigned = linked.filter(assignedCond)
           .select(col("mention_id"), anchorUdf(col("y_pred")).as("anchor"))
         val anchorEdges = assigned.select(col("mention_id").as("src"), col("anchor").as("dst"))
-        val simEdges = scored.filter(col("score") >= cfg.edgeThreshold)
-          .join(assigned.select(col("mention_id").as("src")), Seq("src"), "left_anti")
-          .join(assigned.select(col("mention_id").as("dst")), Seq("dst"), "left_anti")
-          .select("src", "dst")
+        // Keep a scored pair as a similarity edge only when NEITHER endpoint
+        // is cascade-assigned. The direct formulation — two left_anti joins
+        // against the assigned ids — shuffles the entire ≥θ pair stream
+        // TWICE, and the cascade assigns most mentions, so most of that
+        // shuffle is rows about to be discarded (measured at 3M convs:
+        // ~108 s at BOTH widths — the one width-insensitive stage in the
+        // job). The complement set (unassigned residue) is exactly
+        // linked \ assigned — typically ~10% of mentions — so when it fits
+        // a broadcast, two broadcast LEFT SEMI joins keep the same rows
+        // with ZERO shuffle of the pair stream. Counting it costs one
+        // aggregate over the committed linked table. Fallback above the
+        // broadcast limit: the original anti-join pair (still correct at
+        // any residue size).
+        val unassignedIds = linked
+          .filter(!coalesce(assignedCond, lit(false))).select("mention_id")
+        val scoredEdges = scored.filter(col("score") >= cfg.edgeThreshold)
+        val simEdges =
+          if (unassignedIds.count() <= cfg.broadcastResidueLimit)
+            scoredEdges
+              .join(broadcast(unassignedIds.withColumnRenamed("mention_id", "src")),
+                Seq("src"), "left_semi")
+              .join(broadcast(unassignedIds.withColumnRenamed("mention_id", "dst")),
+                Seq("dst"), "left_semi")
+              .select("src", "dst")
+          else scoredEdges
+            .join(assigned.select(col("mention_id").as("src")), Seq("src"), "left_anti")
+            .join(assigned.select(col("mention_id").as("dst")), Seq("dst"), "left_anti")
+            .select("src", "dst")
         simEdges.unionByName(anchorEdges)
       } else scored.filter(col("score") >= cfg.edgeThreshold).select("src", "dst")
     }

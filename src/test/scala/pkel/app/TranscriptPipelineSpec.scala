@@ -275,4 +275,32 @@ class TranscriptPipelineSpec extends SparkSpec {
     val salted = clustersWith(8)
     assert(unsalted == salted, "salting must not change the transitive clusters")
   }
+
+  test("edge stage: broadcast semi-join plan == shuffle anti-join fallback") {
+    // The edge stage keeps a ≥θ pair only when NEITHER endpoint is
+    // cascade-assigned. broadcastResidueLimit selects between the broadcast
+    // semi-join plan (zero shuffle of the pair stream) and the original
+    // shuffle anti-joins; the two MUST emit identical edge sets — and the
+    // residue limit must not leak into stage fingerprints via toString
+    // surprises (each run uses its own root, so both compute fresh).
+    val seed = 7L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 150, seed = seed)
+    val gold = goldDf(transcripts, seed)
+    def edgesWith(limit: Long): (Set[(Long, Long)], Map[Long, Long]) = {
+      val root = Files.createTempDirectory(s"pkel_edges${limit}_").toString
+      val cfg = Pipeline.Config(broadcastResidueLimit = limit)
+      val io = new TableIO(spark, root, s"edges-$limit")
+      val (c, _) = Pipeline.run(spark, transcripts, entries, cfg, io, Some(gold))
+      val e = spark.read.parquet(s"$root/edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (e, c.select("mention_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap)
+    }
+    val (eBroadcast, cBroadcast) = edgesWith(Long.MaxValue) // force semi-join plan
+    val (eAnti, cAnti) = edgesWith(0L)                      // force anti-join fallback
+    assert(eBroadcast == eAnti,
+      s"edge sets differ: semi-only=${(eBroadcast -- eAnti).take(5)}, " +
+        s"anti-only=${(eAnti -- eBroadcast).take(5)}")
+    assert(cBroadcast == cAnti, "clusters must be identical across edge plans")
+  }
 }
