@@ -99,7 +99,8 @@ object Pipeline {
 
   /** Per-mention embedding column (computed once, carried through PairGen). */
   private val embedVecUdf =
-    udf((s: String) => pkel.scoring.Embedder.default.encode(Option(s).getOrElse("")))
+    udf(pkel.text.Memo((s: String) =>
+      pkel.scoring.Embedder.default.encode(Option(s).getOrElse(""))))
 
   /** Anchor node id for an entity: "Q57" → −58 (strictly below all mention ids). */
   def anchorId(paramId: String): Long = {
