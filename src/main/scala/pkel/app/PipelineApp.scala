@@ -20,6 +20,11 @@ import pkel.transcript.TranscriptSynth
   * deterministically (then gold labels are known and pairwise F1 is
   * reported). Re-running with the same `--out` resumes from the committed
   * stage snapshots.
+  *
+  * `--dump-input <path>` materializes the deterministic synthetic corpus as
+  * a transcript table at `<path>` and exits — the producer for `--input`
+  * runs, so the production shape (read an existing table, no synthesis or
+  * gold evaluation in the measured job) can be benchmarked end-to-end.
   */
 object PipelineApp {
 
@@ -41,6 +46,20 @@ object PipelineApp {
     spark.sparkContext.setLogLevel("WARN")
 
     val entries = Ontology.load()
+
+    opts.get("dump-input").foreach { path =>
+      val multiRate = opts.getOrElse("multi-rate", "0.0").toDouble
+      val tableRate = opts.getOrElse("table-rate", "0.0").toDouble
+      TranscriptSynth.generate(spark, entries, nConvs, seed = seed,
+          multiRate = multiRate, tableRate = tableRate)
+        .repartition(128, col("conv_id"))
+        .write.mode("overwrite").parquet(path)
+      val n = spark.read.parquet(path).count()
+      println(s"""{"transcripts":$n,"path":"$path"}""")
+      spark.stop()
+      sys.exit(0)
+    }
+
     val (transcripts, gold) = opts.get("input") match {
       case Some(path) =>
         (spark.read.parquet(path), None)

@@ -7,6 +7,11 @@
 # script evidences the spark-submit surface itself at both widths.
 #
 # Usage: tools/submit_width_pair.sh [convs] [outRoot]
+#
+# WIDTH_PAIR_INPUT=<path>: production shape — read a pre-materialized
+# transcript table (PipelineApp --dump-input) instead of synthesizing, so
+# the measured job is read -> pipeline -> write with no synthesis or gold
+# evaluation (F1 prints NaN; the json parser tolerates it).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -20,11 +25,13 @@ run_width() {
   local width="$1"
   local out="$ROOT/w$width"
   rm -rf "$out"
+  local src_args=(--convs "$CONVS" --table-rate 0.08)
+  [ -n "${WIDTH_PAIR_INPUT:-}" ] && src_args=(--input "$WIDTH_PAIR_INPUT")
   /opt/spark/bin/spark-submit --master "local[$width]" --driver-memory 24g \
     --conf spark.sql.shuffle.partitions=128 \
     --conf spark.local.dir=/dev/shm/spark-local \
     --class pkel.app.PipelineApp "$JAR" \
-    --convs "$CONVS" --out "$out" --table-rate 0.08 2>&1 |
+    "${src_args[@]}" --out "$out" 2>&1 |
     grep -E '^\{"mentions"' | tail -1
 }
 
