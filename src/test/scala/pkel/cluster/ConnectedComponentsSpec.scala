@@ -57,6 +57,33 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected exactly one surviving checkpoint, got ${checkpoints.map(_.getName).toSeq}")
   }
 
+  test("onIteration surfaces the fixpoint's per-iteration cost and edge counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val (roots, iters) = ConnectedComponents.runWithStats(
+      spark, edges.toDF("src", "dst"), smallGraphThreshold = 0L,
+      onIteration = (it, n, ms) => stats += ((it, n, ms)))
+    // one callback for the initial canonicalization + one per star round
+    assert(stats.map(_._1) == (0 to iters))
+    assert(stats.forall(_._3 >= 0L))
+    // iteration 0 reports the canonical (dedup'd, undirected) edge count
+    val canonical = edges.map(e => (math.max(e._1, e._2), math.min(e._1, e._2))).distinct.size
+    assert(stats.head._2 == canonical)
+    // at fixpoint every edge is (node, root): last reported count = nodes
+    // that are not their own root
+    val rootMap = roots.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.last._2 == rootMap.count { case (n, r) => n != r })
+    assert(rootMap == oracle(edges))
+    // the small-graph path never iterates: a single callback for iteration 0
+    val small = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    ConnectedComponents.runWithStats(spark, edges.toDF("src", "dst"),
+      onIteration = (it, n, ms) => small += ((it, n, ms)))
+    assert(small.map(_._1) == Seq(0) && small.head._2 == canonical)
+  }
+
   test("kill/resume: a fresh run resumes from the last durable iterate, same roots") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
