@@ -87,7 +87,12 @@ object Pipeline {
         * semi-join plan (zero shuffle of the ≥θ pair stream); above it the
         * stage falls back to shuffle anti-joins against the assigned ids.
         * 10M longs ≈ 320 MB hashed — comfortable for executor broadcast. */
-      broadcastResidueLimit: Long = 10000000L)
+      broadcastResidueLimit: Long = 10000000L,
+      /** Physical form of each connected-components star round: "window"
+        * (one exchange per star — default) or "join" (groupBy+self-join,
+        * AQE-skew-splittable — the escape hatch for ≫10^8-degree hubs).
+        * See [[pkel.cluster.ConnectedComponents]]. */
+      ccStarImpl: String = "window")
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -328,7 +333,8 @@ object Pipeline {
     val components = io.readOrCompute("components", fp(cfg, "c")) {
       ConnectedComponents.run(spark, edges,
         checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"),
-        onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)))
+        onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)),
+        starImpl = cfg.ccStarImpl)
     }
     if (ccIterStats.nonEmpty)
       io.appendCounters("components",

@@ -99,7 +99,10 @@ object PipelineApp {
       // --prune true: drop cross-key pairs provably below the edge threshold
       // (length bound) before the scoring kernel; clusters are invariant,
       // drops land in the metrics table as length_pruned_pairs
-      prunePairs = opts.getOrElse("prune", "false").toBoolean)
+      prunePairs = opts.getOrElse("prune", "false").toBoolean,
+      // --cc-star window|join: physical form of the CC star rounds (window =
+      // one exchange per star; join = AQE-skew-splittable escape hatch)
+      ccStarImpl = opts.getOrElse("cc-star", "window"))
     val (clusters, summary) = Pipeline.run(spark, transcripts, entries, cfg, io, gold)
 
     println(s"clusters written under $out/clusters; metrics under $out/_metrics")

