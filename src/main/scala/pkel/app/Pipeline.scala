@@ -334,7 +334,14 @@ object Pipeline {
       ConnectedComponents.run(spark, edges,
         checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"),
         onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)),
-        starImpl = cfg.ccStarImpl)
+        starImpl = cfg.ccStarImpl,
+        // the committed edges snapshot is canonical-distinct by
+        // construction — pair generators emit each unordered pair once
+        // (salted intra-bucket i<j; LSH pairs deduped across bands; rep-star
+        // pairs cross-bucket; anchor edges one per assigned mention into a
+        // disjoint negative-id space) — so CC skips re-canonicalizing and
+        // durably re-writing all edges as its iteration 0
+        inputCanonical = true)
     }
     if (ccIterStats.nonEmpty)
       io.appendCounters("components",

@@ -134,9 +134,10 @@ object ConnectedComponents {
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
       smallGraphThreshold: Long = 2000000L,
       onIteration: (Int, Long, Long) => Unit = (_, _, _) => (),
-      starImpl: String = "window"): DataFrame =
+      starImpl: String = "window",
+      inputCanonical: Boolean = false): DataFrame =
     runWithStats(spark, edges0, maxIterations, checkpointDir, reliableEvery,
-      smallGraphThreshold, onIteration, starImpl)._1
+      smallGraphThreshold, onIteration, starImpl, inputCanonical)._1
 
   /** Driver-side union-find with min-root semantics (attach the larger root
     * under the smaller), path-compressed. */
@@ -180,7 +181,16 @@ object ConnectedComponents {
       checkpointDir: Option[String] = None, reliableEvery: Int = 3,
       smallGraphThreshold: Long = 2000000L,
       onIteration: (Int, Long, Long) => Unit = (_, _, _) => (),
-      starImpl: String = "window"): (DataFrame, Int) = {
+      starImpl: String = "window",
+      /** Caller vouches edges0 is ALREADY canonical-distinct (src ≠ dst,
+        * each unordered pair exactly once — e.g. a committed pair-stage
+        * snapshot): skips iteration 0's canonicalize + re-materialize of the
+        * full edge set (a durable write+read of every edge when
+        * checkpointDir is set — measured 16 s @32 / 27 s @8 on 69M edges).
+        * The star rounds themselves tolerate non-canonical input (bidirection
+        * covers both orders; each round ends in a canonical distinct), so a
+        * wrong vouch costs duplicate work in round 1, never wrong roots. */
+      inputCanonical: Boolean = false): (DataFrame, Int) = {
     require(starImpl == "window" || starImpl == "join",
       s"starImpl must be 'window' or 'join', got '$starImpl'")
     val round: DataFrame => DataFrame =
@@ -234,11 +244,18 @@ object ConnectedComponents {
     }
     val startIt = resumed.map(_._2).getOrElse(0)
     val tInit = System.nanoTime()
-    var edges = resumed.map(_._1).getOrElse(materialize(
-      edges0.select(col("src").cast("long"), col("dst").cast("long"))
-        .filter(col("src") =!= col("dst"))
-        .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-        .distinct(), 0))
+    var edges = resumed.map(_._1).getOrElse {
+      if (inputCanonical)
+        // trusted canonical snapshot: use as-is (lineage is already shallow
+        // for a committed stage; no durable iter-0 copy — a kill before the
+        // first durable round restarts from the same snapshot anyway)
+        edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      else materialize(
+        edges0.select(col("src").cast("long"), col("dst").cast("long"))
+          .filter(col("src") =!= col("dst"))
+          .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+          .distinct(), 0)
+    }
     var sig = signature(edges)
     onIteration(startIt, sig._1, (System.nanoTime() - tInit) / 1000000)
     if (sig._1 <= smallGraphThreshold) {

@@ -184,6 +184,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(roots == oracle(edges))
   }
 
+  test("inputCanonical: same roots, and no durable iter-0 copy of the input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val raw = (0L until 200L).map(i => (i, i + 1)) ++
+      Seq.fill(80)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)).filter(e => e._1 != e._2)
+    // canonical-distinct form (src > dst, each unordered pair once)
+    val canon = raw.map(e => (math.max(e._1, e._2), math.min(e._1, e._2))).distinct
+    val expect = oracle(raw)
+    val dir = java.nio.file.Files.createTempDirectory("cc-canon").toString
+    val (df, iters) = ConnectedComponents.runWithStats(spark,
+      canon.toDF("src", "dst"), checkpointDir = Some(dir), reliableEvery = 3,
+      smallGraphThreshold = 0L, inputCanonical = true)
+    assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    // iteration 0 (the canonicalize + durable re-write of the input) was
+    // skipped: no cc_iter_0 directory ever appears
+    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(!names.contains("cc_iter_0"), s"iter-0 copy written: ${names.toSeq}")
+    assert(iters >= 1)
+    // a wrong vouch (duplicates, both orders) still yields correct roots —
+    // rounds canonicalize internally; the flag is a performance contract
+    val messy = raw ++ raw.map(e => (e._2, e._1))
+    val got = ConnectedComponents.run(spark, messy.toDF("src", "dst"),
+      smallGraphThreshold = 0L, inputCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("starImpl is validated") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
