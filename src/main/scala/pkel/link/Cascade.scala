@@ -58,10 +58,19 @@ object Cascade {
 
     def sink(tier: String, df: DataFrame): Unit = cfg.tierSink.foreach(_(tier, df))
 
-    // tier 1: exact — emits linked/excluded, residue flows on
-    val exact = ExactLinker.link(spark, featured, index)
+    // tier 1: exact — emits linked/excluded, residue flows on. The
+    // full-width tier output (turn text, tagged text, table context, debug
+    // candidates) goes to the observability sink only; the cascade's own
+    // flow persists just the columns tiers 2–5 and the final union consume
+    // (ids/labels/keys/statuses + mention, tokens, retrieval_feature) — the
+    // fat text columns would otherwise dominate the cache footprint at
+    // tens of millions of mentions.
+    val exactFull = ExactLinker.link(spark, featured, index)
+    sink("exact", exactFull)
+    val exact = exactFull.select(
+      (predCols.filterNot(_ == "score") ++ Seq("mention", "tokens", "retrieval_feature"))
+        .map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sink("exact", exact)
     val exactEmitted = exact.filter(col("status").isin(
       ExactLinker.StatusLinked, ExactLinker.StatusDisambiguated,
       ExactLinker.StatusTableDefault, ExactLinker.StatusExcluded))
