@@ -92,7 +92,16 @@ object Pipeline {
         * (one exchange per star — default) or "join" (groupBy+self-join,
         * AQE-skew-splittable — the escape hatch for ≫10^8-degree hubs).
         * See [[pkel.cluster.ConnectedComponents]]. */
-      ccStarImpl: String = "window")
+      ccStarImpl: String = "window",
+      /** Durable-checkpoint cadence inside the CC fixpoint (every k-th
+        * iteration writes parquet instead of localCheckpoint). With the
+        * round-5 fixpoint shape (star-forest stop, 1–2 rounds typical) the
+        * default of 3 means short fixpoints write no durable iterate at all
+        * — correct, since a kill then resumes from the committed edges
+        * stage for the price of re-running 1–2 cheap rounds. Set 1 when
+        * fixpoints run long (join-form at extreme skew) or to exercise
+        * mid-fixpoint resume (tools/kill_resume_bench.sh). */
+      ccReliableEvery: Int = 3)
 
   final case class Summary(
       mentions: Long, pairs: Long, edges: Long, clusters: Long,
@@ -333,6 +342,7 @@ object Pipeline {
     val components = io.readOrCompute("components", fp(cfg, "c")) {
       ConnectedComponents.run(spark, edges,
         checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"),
+        reliableEvery = cfg.ccReliableEvery,
         onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)),
         starImpl = cfg.ccStarImpl,
         // the committed edges snapshot is canonical-distinct by

@@ -102,7 +102,11 @@ object PipelineApp {
       prunePairs = opts.getOrElse("prune", "false").toBoolean,
       // --cc-star window|join: physical form of the CC star rounds (window =
       // one exchange per star; join = AQE-skew-splittable escape hatch)
-      ccStarImpl = opts.getOrElse("cc-star", "window"))
+      ccStarImpl = opts.getOrElse("cc-star", "window"),
+      // --cc-reliable-every N: durable-checkpoint cadence in the CC fixpoint
+      // (1 = every round durable — used by tools/kill_resume_bench.sh to
+      // exercise TRUE mid-fixpoint resume now that fixpoints are 1-2 rounds)
+      ccReliableEvery = opts.getOrElse("cc-reliable-every", "3").toInt)
     val (clusters, summary) = Pipeline.run(spark, transcripts, entries, cfg, io, gold)
 
     println(s"clusters written under $out/clusters; metrics under $out/_metrics")

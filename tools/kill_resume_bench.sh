@@ -8,6 +8,14 @@
 # durable iterate, producing the identical cluster count and F1.
 #
 # Usage: tools/kill_resume_bench.sh [convs=3000000] [base=/dev/shm/pkel-kr]
+#
+# --cc-reliable-every 1: since the round-5 fixpoint work (window rounds +
+# star-forest stop + inputCanonical) the fixpoint converges in 1-2 rounds
+# and the DEFAULT cadence (3) never writes a durable iterate — a kill then
+# resumes from the committed edges stage, which this script can't
+# distinguish from a full CC recompute. Cadence 1 makes every round
+# durable, so the kill lands strictly inside the fixpoint past a durable
+# iterate — the long-fixpoint regime mid-fixpoint resume exists for.
 set -u
 cd "$(dirname "$0")/.."
 JAR=target/scala-2.13/pk_parameter_entity_linkingspark_2.13-0.1.0.jar
@@ -17,6 +25,7 @@ SUBMIT=(/opt/spark/bin/spark-submit --master "local[32]" --driver-memory 24g
   --conf spark.sql.shuffle.partitions=128
   --conf spark.local.dir=/dev/shm/spark-kr
   --class pkel.app.PipelineApp "$JAR")
+SUBMIT+=(--cc-reliable-every 1)
 rm -rf "$BASE" /dev/shm/spark-kr && mkdir -p "$BASE"
 
 echo "== clean run ($CONVS convs) =="
