@@ -340,7 +340,20 @@ object Pipeline {
     // written when it originally computed).
     val ccIterStats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val components = io.readOrCompute("components", fp(cfg, "c")) {
-      ConnectedComponents.run(spark, edges,
+      // the anchor subgraph needs no fixpoint: anchor edges (dst < 0 — the
+      // anchors' id space) attach each cascade-ASSIGNED mention to exactly
+      // one anchor, and sim edges exist only between UNASSIGNED mentions
+      // (the edge stage's both-endpoint semi-join), so the anchor rows are
+      // a star forest rooted at their (negative, hence component-minimal)
+      // anchors, node-disjoint from the sim subgraph. Contracting them
+      // through every star round would only inflate each round's volume —
+      // ~20-90% of all edges depending on the cascade's assignment rate —
+      // so the fixpoint runs on the sim subgraph alone and the anchor rows
+      // union in as ready-made (node, root) assignments.
+      val simEdges = edges.filter(col("dst") >= 0L)
+      val anchorRows = edges.filter(col("dst") < 0L)
+        .select(col("src").as("node"), col("dst").as("root"))
+      val simRoots = ConnectedComponents.run(spark, simEdges,
         checkpointDir = Some(s"${io.root}/_cc_checkpoints/${fp(cfg, "c")}"),
         reliableEvery = cfg.ccReliableEvery,
         onIteration = (it, nEdges, wallMs) => ccIterStats += ((it, nEdges, wallMs)),
@@ -348,10 +361,12 @@ object Pipeline {
         // the committed edges snapshot is canonical-distinct by
         // construction — pair generators emit each unordered pair once
         // (salted intra-bucket i<j; LSH pairs deduped across bands; rep-star
-        // pairs cross-bucket; anchor edges one per assigned mention into a
-        // disjoint negative-id space) — so CC skips re-canonicalizing and
-        // durably re-writing all edges as its iteration 0
+        // pairs cross-bucket) — so CC skips re-canonicalizing and durably
+        // re-writing all edges as its iteration 0
         inputCanonical = true)
+      simRoots
+        .unionByName(anchorRows)
+        .unionByName(anchorRows.select(col("root").as("node"), col("root")).distinct())
     }
     if (ccIterStats.nonEmpty)
       io.appendCounters("components",
