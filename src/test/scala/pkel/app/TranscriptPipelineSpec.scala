@@ -303,4 +303,33 @@ class TranscriptPipelineSpec extends SparkSpec {
         s"anti-only=${(eAnti -- eBroadcast).take(5)}")
     assert(cBroadcast == cAnti, "clusters must be identical across edge plans")
   }
+
+  test("anchor/sim edge subgraphs are node-disjoint (the CC-split precondition)") {
+    // Stage 7 runs the CC fixpoint on sim edges only and unions anchor rows
+    // in as ready-made (node, root) assignments. That is correct ONLY if no
+    // mention appears in both subgraphs: anchor edges (dst < 0) attach
+    // cascade-ASSIGNED mentions, sim edges connect UNASSIGNED ones — the
+    // edge stage's both-endpoint filter enforces it. Pin the invariant
+    // directly on a committed edges snapshot so a future edge-stage change
+    // that silently breaks the precondition fails here, not as a subtle
+    // clustering drift.
+    val seed = 13L
+    val transcripts = TranscriptSynth.generate(spark, entries, nConvs = 150, seed = seed)
+    val root = Files.createTempDirectory("pkel_ccsplit_").toString
+    val io = new TableIO(spark, root, "ccsplit")
+    Pipeline.run(spark, transcripts, entries, Pipeline.Config(), io,
+      Some(goldDf(transcripts, seed)))
+    val edges = spark.read.parquet(s"$root/edges")
+    val anchorNodes = edges.filter(col("dst") < 0L).select(col("src").as("n"))
+    val simNodes = edges.filter(col("dst") >= 0L)
+      .select(col("src").as("n"))
+      .union(edges.filter(col("dst") >= 0L).select(col("dst").as("n")))
+    assert(anchorNodes.count() > 0 && simNodes.count() > 0,
+      "corpus must exercise both subgraphs for the disjointness pin to mean anything")
+    val overlap = anchorNodes.intersect(simNodes).count()
+    assert(overlap == 0L, s"$overlap mentions appear in BOTH subgraphs")
+    // anchors live strictly in the negative id space, mentions in the
+    // non-negative one — the other half of the split's correctness
+    assert(edges.filter(col("src") < 0L).count() == 0L, "anchor id leaked into src")
+  }
 }
