@@ -57,7 +57,7 @@ object AqeSkewBench {
     val spark = Bench.session("32")
 
     // ---- phase 1: the >=1B-pair edge build on the hostile corpus ----------
-    val path = s"/dev/shm/pkel-skew/aqe_$n"
+    val path = s"/dev/shm/pkel-skew/aqe_v${SkewBench.generatorVersion}_$n"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
       SkewBench.skewedMentions(spark, n).write.mode("overwrite").parquet(path)
     val mentions = spark.read.parquet(path)

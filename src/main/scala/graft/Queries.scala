@@ -254,15 +254,24 @@ object Queries {
     * colliding pairs — collision-safe at target scale. ONE md5 per shingle;
     * both halves derive from it after the explode. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 3, 1)), " +
-            "i -> md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, 4))))")).as("sh_md5"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(sh_md5, 1, 15), 16, 10) as bigint)").as("sh_hi"),
-        expr("cast(conv(substring(sh_md5, 16, 15), 16, 10) as bigint)").as("sh_lo"))
-      .distinct()
+    // shared via the tracked cache: dropstats and jaccard run over the same
+    // distinct (doc, shingle) table in one battery pass, so the second query
+    // reuses the explode+distinct instead of recomputing it. The word split
+    // is hoisted to a per-ROW column before the transform lambda — higher-
+    // order functions are interpreted, so a split inside the lambda would
+    // re-tokenize the document once per shingle (O(words²) per doc).
+    cachedDf(spark, dir, "doc_shingles") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(size(w) - 3, 1)), " +
+              "i -> md5(concat_ws(' ', slice(w, i, 4))))")).as("sh_md5"))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(sh_md5, 1, 15), 16, 10) as bigint)").as("sh_hi"),
+          expr("cast(conv(substring(sh_md5, 16, 15), 16, 10) as bigint)").as("sh_lo"))
+        .distinct()
+    }
 
   /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
     * join → |∩|/|∪| ≥ threshold, over the 120-bit [[docShingles]] keys.
@@ -381,9 +390,17 @@ object Queries {
   private val minhashBandsExpr =
     expr("transform(sequence(0, 7), b -> md5(concat_ws(',', slice(sigs, b * 4 + 1, 4))))")
 
+  /** Per-doc minhash signature scan, shared by the bucket and pair queries
+    * through the tracked cache — the 32-function UDF over every document is
+    * the family's dominant cost and was previously paid once per query. */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, dir, "minhash_sigs") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), minhashSigsUdf(col("text")).as("sigs"))
+    }
+
   def docMinhashBuckets(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSigsUdf(col("text")).as("sigs"))
+    minhashSigs(spark, dir)
       .select(col("doc_id"), posexplode(minhashBandsExpr).as(Seq("band", "bucket")))
       .groupBy("band", "bucket").agg(collect_set("doc_id").as("doc_set"))
       .filter(size(col("doc_set")) > 1)
@@ -402,8 +419,7 @@ object Queries {
     * Bucketed join, oversize buckets excluded via the same >1-member groups
     * the bucket query reports. */
   def docMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSigsUdf(col("text")).as("sigs"))
+    val sigs = minhashSigs(spark, dir)
     val banded = sigs.select(col("doc_id"), col("sigs"),
       posexplode(minhashBandsExpr).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"),
@@ -495,9 +511,17 @@ object Queries {
     * emitted as a 16-hex string, so the identical construction runs in the
     * DuckDB oracle (hash-verified, not rows-only). Every token OCCURRENCE
     * votes ±1 per bit (standard simhash weighting by frequency). */
+  /** Per-doc simhash signature scan, shared by the signature and near-dup
+    * queries through the tracked cache (same move as [[minhashSigs]]). */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, dir, "simhash_sigs") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), simhashHexUdf(col("text")).as("sig"))
+    }
+
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), simhashHexUdf(col("text")).as("simhash_hex"))
+    simhashSigs(spark, dir)
+      .select(col("doc_id"), col("sig").as("simhash_hex"))
       .orderBy("doc_id")
 
   /** The simhash DOWNSTREAM: near-duplicate pairs by hamming distance. Band
@@ -511,8 +535,7 @@ object Queries {
     * sharing multiple bands are collapsed. */
   def docSimhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only up to hamming 3")
-    val sigs = t(spark, dir, "documents")
-      .select(col("doc_id"), simhashHexUdf(col("text")).as("sig"))
+    val sigs = simhashSigs(spark, dir)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), b -> substring(sig, b * 4 + 1, 4))"))
         .as(Seq("band", "bkey")))
@@ -775,6 +798,47 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** State-store partition count for the streaming queries, derived from the
+    * INPUT SIZE instead of inherited from the batch session's shuffle width
+    * (guide §2.2: fewer, larger partitions): every state partition costs a
+    * state-store provider + per-micro-batch delta/snapshot files in the
+    * checkpoint, so a 128-wide batch setting charges 128 partitions of
+    * checkpoint IO to a table that fits in one. ceil(bytes/maxPartitionBytes)
+    * clamped to [1, session shuffle partitions] keeps the setting
+    * scale-adaptive — a 100 TB stream hits the session ceiling, a small one
+    * doesn't pay width it cannot use. Override: spark.pkel.stream.statePartitions. */
+  private def streamStatePartitions(spark: SparkSession, tablePath: String): Int = {
+    val conf = spark.conf.getOption("spark.pkel.stream.statePartitions")
+    conf.map(_.toInt).getOrElse {
+      val hp = new org.apache.hadoop.fs.Path(tablePath)
+      val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+      val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}"))
+      val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      math.min(sessionWidth, math.max(1L, (bytes + maxPart - 1) / maxPart)).toInt
+    }
+  }
+
+  /** Run `body` with the session's shuffle-partition width temporarily set to
+    * `n` (the streaming queries execute EAGERLY inside their builder, so the
+    * override is scoped to the stream and restored before return), and with
+    * an explicit checkpoint dir on the fast local dir (the default temp
+    * checkpoint lands on /tmp-on-disk; offset/commit/state logs are fsync'd
+    * per micro-batch, so checkpoint latency is pure overhead at any scale). */
+  private def withStreamConf[A](spark: SparkSession, n: Int)(body: String => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val ckpt = s"${spark.conf.get("spark.local.dir", "/tmp")}/pkel-stream-ckpt/${java.util.UUID.randomUUID()}"
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body(ckpt)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      try hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      catch { case _: Exception => () }
+    }
+  }
+
   /** Structured-Streaming exposure: exact dedup as an incremental job —
     * file stream over the documents table → streaming dropDuplicates on the
     * content hash → AvailableNow micro-batches into a memory sink. The
@@ -806,15 +870,18 @@ object Queries {
     // unique per invocation: a reused memory-sink query name would collide
     // when the battery runs twice in one JVM
     val name = s"stream_dedup_${math.abs(dir.hashCode)}_${streamRuns.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    val finished = q.awaitTermination(120000)
-    if (!finished) q.stop()
-    require(finished, s"streaming dedup did not finish within 120s ($name)")
+    withStreamConf(spark, streamStatePartitions(spark, tablePath)) { ckpt =>
+      val q = deduped.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(120000)
+      if (!finished) q.stop()
+      require(finished, s"streaming dedup did not finish within 120s ($name)")
+    }
     spark.table(name).orderBy("canonical_doc")
   }
 
@@ -847,15 +914,18 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         dec(sum(dec(col("value")))).cast("double").as("sum_value"))
     val name = s"stream_hourly_${math.abs(dir.hashCode)}_${streamRuns.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append") // only watermark-finalized windows are emitted
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    val finished = q.awaitTermination(120000)
-    if (!finished) q.stop()
-    require(finished, s"streaming hourly agg did not finish within 120s ($name)")
+    withStreamConf(spark, streamStatePartitions(spark, tablePath)) { ckpt =>
+      val q = agg.writeStream
+        .outputMode("append") // only watermark-finalized windows are emitted
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(120000)
+      if (!finished) q.stop()
+      require(finished, s"streaming hourly agg did not finish within 120s ($name)")
+    }
     spark.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
@@ -1000,6 +1070,13 @@ object Queries {
       .filter(t => t.isTemporary &&
         (t.name.startsWith("stream_dedup_") || t.name.startsWith("stream_hourly_")))
       .foreach(t => spark.catalog.dropTempView(t.name))
+    // compact the heap while nothing is timed: the dropped caches, streaming
+    // state and shuffle buffers otherwise sit in the old generation and are
+    // collected DURING the subsequent timed queries — measured 290 s of
+    // cumulative task GC (rep 21.6 s vs 4.3 s isolated) in the pair probe's
+    // first post-battery rep before this hygiene step. Memory cleanup only;
+    // no query state survives it.
+    System.gc()
   }
 
   /** Share of battery mention turns rendered as HTML tables (the gold

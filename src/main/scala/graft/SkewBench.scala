@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object SkewBench {
 
+  /** Bump when `skewedMentions` (or any derived cached corpus) changes:
+    * /dev/shm corpus caches key on (version, params), so a generator edit
+    * can never silently reuse a stale distribution (round-5 advice). */
+  val generatorVersion = 2
+
   /** Deterministic hostile corpus (same construction as SkewStressSpec at
     * spec scale): mention i takes the hot key when i ≡ 0 (mod 10); the rest
     * fall on a K-key Zipf(1) tail via rank = floor(exp(u·ln K)); tail key

@@ -41,7 +41,9 @@ object SurfaceCardBench {
     udf((s: String) => pkel.scoring.Embedder.default.encode(Option(s).getOrElse("")))
 
   private def materialize(spark: SparkSession, df: DataFrame, tag: String): String = {
-    val path = s"/dev/shm/pkel-surfcard/$tag"
+    // corpus caches key on (generator version, tag) so a generator edit can
+    // never silently reuse a stale distribution (round-5 advice)
+    val path = s"/dev/shm/pkel-surfcard/v${SkewBench.generatorVersion}_$tag"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
       df.write.mode("overwrite").parquet(path)
     path

@@ -247,7 +247,7 @@ object Pipeline {
     // truncation is a visible counter, never a silent cap. A resumed stage
     // drains nothing (the counters were recorded when it originally computed).
     PairDropMetrics.reset(spark)
-    val vecCarry = cfg.vecMode match {
+    def vecCarry: Boolean = cfg.vecMode match {
       case VecCarry => true
       case VecMemo => false
       case VecAuto(threshold, costlyEncoder) =>
@@ -255,7 +255,9 @@ object Pipeline {
         // of one string column, negligible next to the pair stage it tunes;
         // the KMV sketch is this repo's own mergeable
         // TypedImperativeAggregate (k=256 ⇒ ~6% relative error, ample for an
-        // order-of-magnitude threshold)
+        // order-of-magnitude threshold). Evaluated INSIDE the scored stage's
+        // compute block (round-5 advice): a resumed run replays the scored
+        // snapshot and must not re-pay the scan or append duplicate counters.
         val est = keyed
           .agg(pkel.functions.Functions.kmv_distinct(col("mention"), k = 256).as("d"))
           .head().getLong(0)

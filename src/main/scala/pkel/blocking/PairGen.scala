@@ -169,7 +169,15 @@ object PairGen {
     * per-(key,salt) rep aggregation and the rep-star window reuse this
     * partitioning — no further key-side exchange. */
   private def annotate(mentions: DataFrame, cfg: Config): DataFrame = {
-    val keyed = mentions.filter(col("blocking_key") =!= "")
+    // project EARLY (guide §2.3): only (mention_id, blocking_key, features)
+    // ride the key exchange + count window. The tokens array — the fattest
+    // input column, consumed solely by the LSH path's key-rep aggregate,
+    // which runs on the raw mentions — previously paid this shuffle + the
+    // window sort + the bucket collect_list partials for nothing (measured
+    // ~90 MB exchange at the 1M-conv probe, most of it tokens).
+    val keyed = mentions
+      .select((Seq("mention_id", "blocking_key") ++ featureCols(mentions)).map(col): _*)
+      .filter(col("blocking_key") =!= "")
     val withSalt =
       if (cfg.adaptiveSalt)
         keyed.withColumn("key_n", count(lit(1)).over(Window.partitionBy("blocking_key")))

@@ -81,28 +81,37 @@ object Metrics {
     * pair sums (gold, predicted, true-positive) derive from the cells with
     * cell-scale aggregations — round 2 ran three separate data-scale
     * groupBys per scope. Marginals come from summing cells (a row's gold
-    * margin counts every pred including NIL), so the numbers are identical. */
+    * margin counts every pred including NIL), so the numbers are identical.
+    *
+    * Round 6: the three sums run as ONE union job collected once (the
+    * previous persist + three sequential actions paid four job launches per
+    * scope — battery-visible overhead on small inputs and three extra
+    * driver round-trips at any scale); the branches share the contingency
+    * exchange via ReuseExchange, so data is still shuffled exactly once.
+    * C(n,2) is codegen'd integer arithmetic (`n*(n-1) DIV 2`), not a UDF. */
   private def pairwiseF1Grouped(assignments: DataFrame, extraKeys: Seq[String],
       nil: String): PairwiseMetrics = {
-    val pairsUdf = udf((n: Long) => pairs(n))
     val keyCols = extraKeys.map(col)
     val cells = assignments
       .groupBy((keyCols :+ col("gold")) :+ col("pred"): _*)
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def total(df: DataFrame, groupCols: Seq[org.apache.spark.sql.Column]): Long =
-      df.groupBy(groupCols: _*).agg(sum(col("c")).as("n"))
-        .agg(coalesce(sum(pairsUdf(col("n"))), lit(0L))).head().getLong(0)
-    try {
-      val goldPairs = total(cells.filter(col("gold") =!= nil), keyCols :+ col("gold"))
-      val predPairs = total(cells.filter(col("pred") =!= nil), keyCols :+ col("pred"))
-      val tp = cells.filter(col("gold") =!= nil && col("pred") =!= nil)
-        .agg(coalesce(sum(pairsUdf(col("c"))), lit(0L))).head().getLong(0)
-      val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
-      val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
-      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
-      PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
-    } finally cells.unpersist(blocking = false)
+    def marginal(which: String): DataFrame =
+      cells.filter(col(which) =!= nil)
+        .groupBy((keyCols :+ col(which)): _*).agg(sum(col("c")).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("v"))
+        .select(lit(which).as("k"), col("v"))
+    val tpDf = cells.filter(col("gold") =!= nil && col("pred") =!= nil)
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("v"))
+      .select(lit("tp").as("k"), col("v"))
+    val sums = marginal("gold").unionByName(marginal("pred")).unionByName(tpDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val goldPairs = sums("gold")
+    val predPairs = sums("pred")
+    val tp = sums("tp")
+    val p = if (predPairs > 0) tp.toDouble / predPairs else 0.0
+    val r = if (goldPairs > 0) tp.toDouble / goldPairs else 0.0
+    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+    PairwiseMetrics(p, r, f1, tp, predPairs, goldPairs)
   }
 
   /** North-rule variant: pairwise F1 restricted to mention pairs that share a

@@ -66,15 +66,31 @@ object ContrastivePairs {
       col("gold_text").as("response"), lit(1.0).as("label"))
 
     def negatives(candidates: DataFrame, k: Int, tag: String): DataFrame = {
-      val w = Window.partitionBy("mention_id")
-        .orderBy(col("pick_hash"), col("parameter_id"))
-      candidates
-        .withColumn("pick_hash",
-          xxhash64(lit(cfg.seed), lit(tag), col("mention_id"), col("parameter_id")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("mention_id"), col("query"),
-          col("entity_text").as("response"), lit(0.0).as("label"))
+      val withHash = candidates.withColumn("pick_hash",
+        xxhash64(lit(cfg.seed), lit(tag), col("mention_id"), col("parameter_id")))
+      if (k == 1)
+        // k = 1 (the default): the seeded pick is an argmin over
+        // (pick_hash, parameter_id), so a map-side-combinable min_by
+        // aggregate replaces the window — the mention × candidate fan-out is
+        // reduced to one row per mention BEFORE the exchange instead of the
+        // whole fan-out being shuffled and sorted (guide §2.3 "aggregate
+        // before you shuffle"). Ordering semantics are identical to
+        // row_number over (pick_hash, parameter_id): struct comparison is
+        // lexicographic field order.
+        withHash.groupBy(col("mention_id"))
+          .agg(min_by(struct(col("query"), col("entity_text")),
+            struct(col("pick_hash"), col("parameter_id"))).as("m"))
+          .select(col("mention_id"), col("m.query").as("query"),
+            col("m.entity_text").as("response"), lit(0.0).as("label"))
+      else {
+        val w = Window.partitionBy("mention_id")
+          .orderBy(col("pick_hash"), col("parameter_id"))
+        withHash
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("mention_id"), col("query"),
+            col("entity_text").as("response"), lit(0.0).as("label"))
+      }
     }
 
     val hard =
