@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the 54-query battery compiles well over the default 100 cached codegen
+  // units; eviction forces janino recompilation of warmed plans mid-battery
+  // (driver-side, single-threaded). Sized for any driver, not this box.
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // pre-size the heap: the ramp from the default small -Xms inflates the
   // first benchmark reps with GC churn that later reps don't pay

@@ -271,6 +271,9 @@ object Queries {
           expr("cast(conv(substring(sh_md5, 1, 15), 16, 10) as bigint)").as("sh_hi"),
           expr("cast(conv(substring(sh_md5, 16, 15), 16, 10) as bigint)").as("sh_lo"))
         .distinct()
+        // one wave of tasks for downstream map stages (the distinct leaves
+        // the cache at full shuffle width); same move as synthMentions
+        .coalesce(spark.sparkContext.defaultParallelism)
     }
 
   /** N-gram Jaccard near-dup pairs: word 4-gram shingles → shingle-equality
@@ -1070,6 +1073,11 @@ object Queries {
       .filter(t => t.isTemporary &&
         (t.name.startsWith("stream_dedup_") || t.name.startsWith("stream_hourly_")))
       .foreach(t => spark.catalog.dropTempView(t.name))
+    // kernel memo hygiene: the JVM-wide surface memos (tokenizer, NIL
+    // patterns, embeddings) are dropped so an untimed warm-up pass can never
+    // pre-fill kernel results for the timed battery — the timed runs
+    // recompute every distinct surface from scratch
+    pkel.text.Memo.clearAll()
     // compact the heap while nothing is timed: the dropped caches, streaming
     // state and shuffle buffers otherwise sit in the old generation and are
     // collected DURING the subsequent timed queries — measured 290 s of
@@ -1092,7 +1100,13 @@ object Queries {
       // the exact tier's Q57 table default) — not just sentence mentions
       val transcripts = TranscriptSynth.generate(spark, entries, nConvs, seed = 42L,
         tableRate = batteryTableRate)
+      // coalesce before persist: the extractor's window exchange leaves the
+      // cache at the full shuffle width (128), so EVERY downstream map stage
+      // of every q_el_* query ran 128 ~90-row tasks — task-launch overhead,
+      // not compute. defaultParallelism keeps one wave per stage and scales
+      // with the cluster, not with a config constant.
       val mentions = pkel.app.Pipeline.extractMentions(transcripts)
+        .coalesce(spark.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (entries, mentions)
     })
@@ -1400,8 +1414,10 @@ object Queries {
   def elPairwiseF1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val linked = goldAssignments(spark, dir)
-    val g = pkel.eval.Metrics.pairwiseF1(linked.toDF())
-    val k = pkel.eval.Metrics.pairwiseF1AtBlockingKey(linked.toDF())
+    // both scopes in ONE grouping-sets job (same arithmetic as the
+    // per-scope methods, pinned by MetricsSpec) — the two-call form paid
+    // two ~7-stage AQE jobs of almost pure stage latency at battery scale
+    val (g, k) = pkel.eval.Metrics.pairwiseF1Both(linked.toDF())
     def bp(x: Double): Long = math.floor(x * 10000).toLong
     Seq(
       ("at_key", k.tp, k.predPairs, k.goldPairs, bp(k.precision), bp(k.recall), bp(k.f1)),

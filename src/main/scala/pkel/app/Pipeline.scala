@@ -113,7 +113,7 @@ object Pipeline {
 
   /** Per-mention embedding column (computed once, carried through PairGen). */
   private val embedVecUdf =
-    udf(pkel.text.Memo((s: String) =>
+    udf(pkel.text.Memo.named("embed_vec")((s: String) =>
       pkel.scoring.Embedder.default.encode(Option(s).getOrElse(""))))
 
   /** Anchor node id for an entity: "Q57" → −58 (strictly below all mention ids). */
@@ -401,8 +401,7 @@ object Pipeline {
           .select(col("gold"), col("blocking_key"),
             when(col("is_nil"), concat(lit("nil#"), col("mention_id")))
               .otherwise(col("cluster_id").cast("string")).as("pred"))
-        val pw = Metrics.pairwiseF1(assign.select("gold", "pred"))
-        val pwKey = Metrics.pairwiseF1AtBlockingKey(assign)
+        val (pw, pwKey) = Metrics.pairwiseF1Both(assign)
         (pw.f1, pw.precision, pw.recall, pwKey.f1)
       case None => (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     }

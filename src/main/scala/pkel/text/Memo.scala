@@ -1,20 +1,29 @@
 package pkel.text
 
-/** Per-task bounded memo around a pure `String => T` kernel.
+/** JVM-wide bounded memo around a pure `String => T` kernel.
   *
   * Transcript corpora repeat mention surfaces massively (millions of rows
   * over thousands of distinct surfaces), so the regex-chain kernels
-  * ([[PkTokenizer]], the NIL patterns) need to run once per distinct surface
-  * per task, not once per row. The memo lives behind `@transient lazy val`:
-  * each Spark task deserializes its own closure instance and builds a fresh
-  * map on first use — single-threaded within the task, never shared across
-  * tasks, and absent from the serialized closure. Bounded so a worst-case
-  * all-unique corpus keeps memory flat and degrades to the unmemoized cost
-  * (same discipline as PairScorer.MemoCap).
+  * ([[PkTokenizer]], the NIL patterns) need to run once per distinct surface,
+  * not once per row. Round 5 scoped the memo per task (`@transient lazy` map
+  * per deserialized closure); round 6 widened it to the JVM: a 128-partition
+  * stage over an 11k-mention corpus gave every task ~90 rows — all misses in
+  * a task-local map — so the ~1-3 ms regex chain ran once per row per stage
+  * after all (measured ~200 ms of pure tokenizer cpu per 90-row task in the
+  * battery's scoring stages). One process-wide ConcurrentHashMap per kernel
+  * id amortizes across tasks AND stages; on a cluster that is exactly the
+  * per-executor scope. Reads are lock-free; values are immutable results.
+  * Bounded so a worst-case all-unique corpus keeps memory flat and degrades
+  * to the unmemoized cost (same discipline as PairScorer.MemoCap).
+  *
+  * [[Memo.clearAll]] drops every table — the bench calls it via
+  * `Queries.releaseCaches` between its warm-up pass and the timed battery so
+  * warm-up can never pre-fill kernel results for the timed runs.
   */
-final class Memo[T](f: String => T, cap: Int = Memo.DefaultCap)
-    extends (String => T) with Serializable {
-  @transient private lazy val memo = new java.util.HashMap[String, AnyRef](1024)
+final class Memo[T](f: String => T, cap: Int = Memo.DefaultCap,
+    id: String = null) extends (String => T) with Serializable {
+  private val tableId = if (id != null) id else f.getClass.getName
+  @transient private lazy val memo = Memo.tableFor(tableId)
   def apply(s: String): T = {
     val hit = memo.get(s)
     if (hit != null) hit.asInstanceOf[T]
@@ -29,8 +38,23 @@ final class Memo[T](f: String => T, cap: Int = Memo.DefaultCap)
 }
 
 object Memo {
-  /** ~200k surfaces × (pointer + boxed value) keeps the per-task map well
+  /** ~200k surfaces × (pointer + boxed value) keeps the per-kernel map well
     * under typical executor headroom. */
   val DefaultCap = 200000
+
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private def tableFor(id: String): java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+    tables.computeIfAbsent(id, _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef](1024))
+
+  /** Drop every memo table (driver-side; executors in local mode share the
+    * JVM). Measurement hygiene between untimed warm-up and timed runs. */
+  def clearAll(): Unit = tables.clear()
+
   def apply[T](f: String => T, cap: Int = DefaultCap): String => T = new Memo(f, cap)
+
+  /** Named variant: a stable id keyed table (anonymous-class names are stable
+    * within a JVM too, but an explicit id documents intent). */
+  def named[T](id: String)(f: String => T): String => T = new Memo(f, DefaultCap, id)
 }

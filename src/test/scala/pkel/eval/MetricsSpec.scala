@@ -119,4 +119,26 @@ class MetricsSpec extends SparkSpec {
     val aRow = rows.collect { case ((t, _), v) if t == "a" => v._3 }.sum
     assert(aRow <= 10000 && aRow > 10000 - 2)
   }
+
+  test("pairwiseF1Both matches the per-scope computations on a randomized table") {
+    val rnd = new scala.util.Random(7)
+    val golds = Array("Q1", "Q2", "Q3", "Q100")
+    val preds = Array("Q1", "Q2", "Q3", "Q4", "Q100")
+    val keys = Array("k1", "k2", "k3")
+    val rows = Seq.fill(400)((
+      golds(rnd.nextInt(golds.length)),
+      preds(rnd.nextInt(preds.length)),
+      keys(rnd.nextInt(keys.length))))
+    val df = rows.toDF("gold", "pred", "blocking_key")
+    val g = Metrics.pairwiseF1(df)
+    val k = Metrics.pairwiseF1AtBlockingKey(df)
+    val (gB, kB) = Metrics.pairwiseF1Both(df)
+    assert(gB == g, s"global: $gB != $g")
+    assert(kB == k, s"at-key: $kB != $k")
+    // degenerate: all NIL
+    val nil = Seq(("Q100", "Q100", "k1")).toDF("gold", "pred", "blocking_key")
+    val (gN, kN) = Metrics.pairwiseF1Both(nil)
+    assert(gN.tp == 0 && gN.goldPairs == 0 && gN.predPairs == 0)
+    assert(kN.tp == 0 && kN.goldPairs == 0 && kN.predPairs == 0)
+  }
 }
