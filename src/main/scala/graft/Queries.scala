@@ -1624,7 +1624,13 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (shouldDump(dir))
       edges.write.mode("overwrite").parquet(oracleDump(dir) + "/cluster_edges")
-    val comps = pkel.cluster.ConnectedComponents.run(spark, edges)
+    // the scored pair stream is canonical-distinct by construction (salted
+    // intra-bucket pairs are emitted i<j once, rep-star pairs rep>anchor
+    // once, LSH pairs cross-key with dropDuplicates + src>dst) — the same
+    // property the pipeline's committed edge snapshot vouches — so CC can
+    // skip iteration 0's re-canonicalize + localCheckpoint of the full edge
+    // set (a wrong vouch costs duplicate round-1 work, never wrong roots)
+    val comps = pkel.cluster.ConnectedComponents.run(spark, edges, inputCanonical = true)
     comps.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
