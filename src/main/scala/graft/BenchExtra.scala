@@ -17,7 +17,10 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val tag = if (args.nonEmpty) args(0) else "adhoc"
     val reps = if (args.length > 1) args(1).toInt else 2
-    val names = if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // "el_pair_scoring" is a valid arg (probe-only run) but not a battery
+    // query — filter requested names against the registry
+    val requested = if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names = requested.filter(SparkEntry.queries.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = Bench.session(cpus)
@@ -60,7 +63,10 @@ object BenchExtra {
         val line = f"EXTRA $name%-28s noop       $sec%9.3f s"
         println(line); out.append(line).append('\n')
       }
-      try {
+      // streaming queries execute eagerly inside the builder: a plan dump
+      // would re-run the whole stream just to print the memory-sink table
+      // scan, so it is skipped (their evidence is code + measured seconds)
+      if (!name.startsWith("q_stream_")) try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(planDir.resolve(s"${name}_$tag.txt"), plan)
@@ -69,7 +75,7 @@ object BenchExtra {
     }
     // pair-scoring probe isolation (frozen bench methodology: count over the
     // pre-materialized keyed table, best of reps)
-    if (names.contains("el_pair_scoring") || args.length <= 2) {
+    if (requested.contains("el_pair_scoring") || args.length <= 2) {
       val probeConvs = math.max(20000L, (10000000L * Queries.sfOf(sfDir)).toLong)
       val keyedPath = Bench.materializeKeyed(spark, probeConvs)
       (1 to reps).foreach { rep =>

@@ -831,7 +831,9 @@ object Queries {
     * per micro-batch, so checkpoint latency is pure overhead at any scale). */
   private def withStreamConf[A](spark: SparkSession, n: Int)(body: String => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val ckpt = s"${spark.conf.get("spark.local.dir", "/tmp")}/pkel-stream-ckpt/${java.util.UUID.randomUUID()}"
+    // spark.local.dir may be a comma-separated list — take the first entry
+    val localDir = spark.conf.get("spark.local.dir", "/tmp").split(",").head.trim
+    val ckpt = s"$localDir/pkel-stream-ckpt/${java.util.UUID.randomUUID()}"
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body(ckpt)
     finally {

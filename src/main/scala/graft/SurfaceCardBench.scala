@@ -40,10 +40,15 @@ object SurfaceCardBench {
   private val embedVecUdf =
     udf((s: String) => pkel.scoring.Embedder.default.encode(Option(s).getOrElse("")))
 
+  /** Bump when repetitiveMentions/uniqueMentions (this file's own
+    * generators) change — SkewBench.generatorVersion covers only SkewBench's
+    * corpora, so this bench versions its caches itself (round-5 advice). */
+  private val generatorVersion = 2
+
   private def materialize(spark: SparkSession, df: DataFrame, tag: String): String = {
     // corpus caches key on (generator version, tag) so a generator edit can
     // never silently reuse a stale distribution (round-5 advice)
-    val path = s"/dev/shm/pkel-surfcard/v${SkewBench.generatorVersion}_$tag"
+    val path = s"/dev/shm/pkel-surfcard/v${generatorVersion}_$tag"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
       df.write.mode("overwrite").parquet(path)
     path

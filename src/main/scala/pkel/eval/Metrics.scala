@@ -62,8 +62,6 @@ object Metrics {
   final case class PairwiseMetrics(precision: Double, recall: Double, f1: Double,
       tp: Long, predPairs: Long, goldPairs: Long)
 
-  private def pairs(n: Long): Long = n * (n - 1) / 2
-
   /** Pairwise cluster F1 (north-rule metric). `assignments` has columns
     * (gold, pred); rows whose gold or pred equals `nil` are excluded from the
     * respective pair universe (NIL is not an entity — reference drops NIL from

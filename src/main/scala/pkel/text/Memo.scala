@@ -22,9 +22,16 @@ package pkel.text
   */
 final class Memo[T](f: String => T, cap: Int = Memo.DefaultCap,
     id: String = null) extends (String => T) with Serializable {
-  private val tableId = if (id != null) id else f.getClass.getName
+  // Unnamed memos get a UNIQUE id per construction (assigned driver-side,
+  // serialized with the closure): keying by lambda class name alone would
+  // silently SHARE a table between two instances built at the same call
+  // site with different captured state — each other's cached results.
+  private val tableId =
+    if (id != null) id
+    else f.getClass.getName + "#" + Memo.instanceSeq.incrementAndGet()
   @transient private lazy val table = Memo.tableFor(tableId)
   def apply(s: String): T = {
+    if (s == null) return f(null) // CHM rejects null keys; old memo tolerated null inputs
     val memo = table.map
     val hit = memo.get(s)
     if (hit != null) hit.asInstanceOf[T]
@@ -56,12 +63,18 @@ object Memo {
 
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, Table]()
 
+  private val instanceSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def tableFor(id: String): Table =
     tables.computeIfAbsent(id, _ => new Table)
 
-  /** Drop every memo table (driver-side; executors in local mode share the
-    * JVM). Measurement hygiene between untimed warm-up and timed runs. */
-  def clearAll(): Unit = tables.clear()
+  /** Empty every memo table (driver-side; executors in local mode share the
+    * JVM). Measurement hygiene between untimed warm-up and timed runs.
+    * Tables are EMPTIED in place, not dropped from the registry: live Memo
+    * instances cache their Table reference in a lazy val, so dropping the
+    * registry entry would orphan those tables (still serving stale results,
+    * invisible to a later clear). */
+  def clearAll(): Unit = tables.values.forEach { t => t.map.clear(); t.n.set(0) }
 
   def apply[T](f: String => T, cap: Int = DefaultCap): String => T = new Memo(f, cap)
 

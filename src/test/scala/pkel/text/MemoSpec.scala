@@ -43,4 +43,28 @@ class MemoSpec extends AnyFunSuite {
     assert(memod("x") == null && memod("x") == null)
     assert(calls.get == 2)
   }
+
+  test("null inputs bypass the table (CHM rejects null keys) but still compute") {
+    val calls = new AtomicInteger(0)
+    val memod = Memo((s: String) => { calls.incrementAndGet(); if (s == null) -1 else s.length })
+    assert(memod(null) == -1 && memod(null) == -1)
+    assert(calls.get == 2) // unmemoized, never thrown
+  }
+
+  test("two instances from one call site with different captured state never share a table") {
+    def make(k: Int): String => Int = Memo((s: String) => s.length + k)
+    val m1 = make(1); val m100 = make(100)
+    assert(m1("ab") == 3)
+    assert(m100("ab") == 102) // a class-name-keyed table would return 3 here
+  }
+
+  test("clearAll empties live instances' tables (no orphaned stale results)") {
+    val calls = new AtomicInteger(0)
+    val memod = Memo((s: String) => { calls.incrementAndGet(); s.length })
+    assert(memod("xyz") == 3 && memod("xyz") == 3)
+    assert(calls.get == 1)
+    Memo.clearAll()
+    assert(memod("xyz") == 3)
+    assert(calls.get == 2) // recomputed after the clear, even on the SAME instance
+  }
 }
