@@ -297,27 +297,44 @@ object PairGen {
     * <features>). Pair enumeration happens inside the scoring kernel, so the
     * quadratic pair stream is never materialized as a relational
     * intermediate. */
-  def saltedBucketTable(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
-    val features = featureCols(mentions)
+  def saltedBucketTable(mentions: DataFrame, cfg: Config = Config()): DataFrame =
+    saltedBucketTableFromAnnotated(annotate(mentions, cfg), featureCols(mentions))
+
+  /** [[saltedBucketTable]] over an already-annotated table — lets
+    * `PairScorer.scoreCandidates` share one lineage of the key exchange +
+    * count window between its two physical plans. */
+  def saltedBucketTableFromAnnotated(ann: DataFrame, features: Seq[String]): DataFrame = {
     val member = struct((Seq("mention_id", "blocking_key") ++ features).map(col): _*)
     // group on the COMPOSITE bucket key string, not (blocking_key, salt):
     // the latter would satisfy its distribution with the count window's
     // by-key partitioning and keep every bucket of a hot key in one task —
     // pair emission for that key would serialize. The deliberate second
     // exchange redistributes buckets so the quadratic work is balanced.
-    annotate(mentions, cfg)
+    ann
       .groupBy("bucket_key")
       .agg(collect_list(member).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select("ms")
   }
 
+  /** The annotated (salted) mention table — exposed so callers fusing both
+    * pair generators can share one lineage of it. */
+  def annotated(mentions: DataFrame, cfg: Config = Config()): DataFrame =
+    annotate(mentions, cfg)
+
   /** The sparse complement of the salted bucket table: representative
     * star pairs + MinHash-LSH rep pairs (both O(distinct keys), not
     * O(mentions)), with scoring features attached. */
-  def sparsePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame = {
+  def sparsePairsWithFeatures(mentions: DataFrame, cfg: Config = Config()): DataFrame =
+    sparsePairsFromAnnotated(annotate(mentions, cfg), mentions, cfg)
+
+  /** [[sparsePairsWithFeatures]] with the rep-star side reading an
+    * already-annotated table (the LSH side aggregates the raw mentions —
+    * it needs `tokens`, which [[annotate]] deliberately projects away). */
+  def sparsePairsFromAnnotated(ann: DataFrame, mentions: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val features = featureCols(mentions)
-    repStarPairs(annotate(mentions, cfg), features)
+    repStarPairs(ann, features)
       .unionByName(lshFromMentions(mentions, features, cfg))
   }
 }

@@ -591,10 +591,26 @@ object PairScorer {
       // table (hot keys spread across tasks) + relational rep-star/LSH sparse
       // pairs. `scoreMentions` (one-exchange, by-key partitioning) exists as
       // an alternative for low-parallelism / low-skew runs.
+      //
+      // The bucket kernel runs at the InternalRow level (toRdd), so its plan
+      // and the sparse plan are separate query executions that cannot share
+      // exchanges — both used to re-run the scan + key exchange + count
+      // window (two identical ~90 MB exchange writes per probe rep, one full
+      // extra pass over the mention table at any scale). The annotated
+      // lineage is therefore shared via Bridge.shareLineage: one scan + one
+      // key-exchange map stage feeds both plans through the same shuffle
+      // files, the LogicalRDD keeps the by-key partitioning (so the rep-star
+      // window still adds no exchange), and NOTHING is persisted — every
+      // invocation builds a fresh lineage and recomputes from the inputs.
+      val features = Seq("mention") ++
+        (if (mentions.columns.contains("vec")) Seq("vec") else Nil)
+      val ann = org.apache.spark.sql.pkelbridge.Bridge.shareLineage(
+        pkel.blocking.PairGen.annotated(mentions, cfg))
       val sparse = scorePairs(
-        pkel.blocking.PairGen.sparsePairsWithFeatures(mentions, cfg), w, embedder, minScore)
+        pkel.blocking.PairGen.sparsePairsFromAnnotated(ann, mentions, cfg), w, embedder, minScore)
         .select("src", "dst", "key_sim", "jw_sim", "cos_sim", "score")
-      scoreBucketsInternal(pkel.blocking.PairGen.saltedBucketTable(mentions, cfg), w, embedder)
+      scoreBucketsInternal(
+        pkel.blocking.PairGen.saltedBucketTableFromAnnotated(ann, features), w, embedder)
         .unionByName(sparse)
     }
 }
